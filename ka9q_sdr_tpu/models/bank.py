@@ -1,0 +1,341 @@
+"""Wideband multichannel bank — the TPU flagship receiver.
+
+The reference's master/slave filter shares one forward FFT among a handful
+of slave filters in one process (filter.c:22-35).  This module batches that
+fan-out to hundreds of channels: ONE wideband forward FFT per 20 ms block,
+then for every channel a bin *gather* (frequency conversion done in the
+frequency domain), a shared frequency response multiply, a batched short
+IFFT, a residual fine-tune NCO, and a batched demodulator.  All of it is a
+single XLA program; the channel axis shards over a device mesh (see
+parallel.mesh).
+
+Frequency conversion in the frequency domain
+--------------------------------------------
+Downconverting channel c (center f_c) is, in the time domain, a multiply by
+exp(-2*pi*i * nu * s) with nu = f_c/fs and absolute sample index s
+(radio.c:131-136 does this per sample with the second LO).  Split
+nu = k/N + delta with integer k = round(nu*N):
+
+- the k/N part is a *bin rotation*: slave bin j reads master bin
+  (base[j] + k) mod N, where base[] is the reference's slave bin mapping
+  (filter.c:206,225-227);
+- because overlap-save chunk m starts at absolute sample m*L-(M-1), the
+  rotation is off from the true LO by a constant per-block phase
+  phi_m = exp(-2*pi*i * k*(m*L-(M-1))/N).  We carry r_m = k*(m*L-(M-1))
+  mod N as integer state (exact, no drift) and multiply each channel's
+  block by exp(-2*pi*i*r_m/N);
+- the residual delta (|delta| <= 1/(2N) cycles/sample) is applied after
+  the IFFT by a per-channel phase-continuous NCO at the *decimated* rate
+  (freq = -delta*decimate cycles/output-sample) — hundreds of times
+  cheaper than mixing at the input rate.
+
+This reproduces the reference's LO2 + filter semantics to within the
+response interpolation error of tuning off bin centers, at a fraction of
+the FLOPs of per-channel time-domain mixing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fftfilt import (
+    FilterType,
+    MasterSpec,
+    SlaveSpec,
+    master_execute,
+    set_filter_response,
+    slave_bin_indices,
+)
+from ..ops.nco import OscState, osc_init, set_osc, osc_block, split_double
+from ..utils.modes import ModeDef, DEFAULT_MODES
+from .demod_am import am_init, am_demod, AMConfig
+from .demod_fm import fm_init, fm_demod, FMConfig
+from .demod_linear import linear_init, linear_demod, LinearConfig
+
+__all__ = ["BankConfig", "BankState", "ChannelBank", "make_bank"]
+
+
+class BankConfig(NamedTuple):
+    """Static channel-bank configuration.
+
+    Default geometry scales the reference's L=3840, M=4353, N=8192 @192 kHz
+    (main.c:113-115) up to a 2^20-point wideband FFT @24.576 Msps with the
+    same 20 ms block cadence and the same 2048-bin, 48 kHz channels."""
+
+    samprate: float
+    master: MasterSpec
+    decimate: int
+    mode: ModeDef
+    n_channels: int
+    response: np.ndarray     # shared (N_dec,) channel frequency response
+    base_idx: np.ndarray     # (N_dec,) master-bin gather pattern at k=0
+    demod_cfg: object
+
+    @property
+    def N(self) -> int:
+        return self.master.N
+
+    @property
+    def N_dec(self) -> int:
+        return self.master.N // self.decimate
+
+    @property
+    def L_dec(self) -> int:
+        return self.master.L // self.decimate
+
+    @property
+    def dsamprate(self) -> float:
+        return self.samprate / self.decimate
+
+
+class BankState(NamedTuple):
+    overlap: jax.Array     # (M-1,) complex64, shared wideband overlap
+    k: jax.Array           # (B,) int32, per-channel integer bin shift
+    r: jax.Array           # (B,) int32, per-channel block-phase residue mod N
+    dr: jax.Array          # (B,) int32, per-block residue step (k*L mod N),
+    #                        precomputed host-side at tune time to keep the
+    #                        in-jit update overflow-free: r' = (r+dr) mod N
+    nco: OscState          # batched (B,) residual fine-tune oscillators
+    demod: object          # batched demod state
+    gain_factor: jax.Array  # float32 scalar
+
+
+def make_bank_config(
+    n_channels: int,
+    mode: str | ModeDef = "FM",
+    samprate: float = 24.576e6,
+    L: int = 491520,
+    M: int = 557057,
+    kaiser_beta: float = 3.0,
+    headroom_db: float = -15.0,
+    enable_pl: bool = False,
+) -> BankConfig:
+    if isinstance(mode, str):
+        mode = DEFAULT_MODES[mode.upper()]
+    master = MasterSpec(L, M, FilterType.COMPLEX)
+    N = master.N
+    # Channel geometry mirrors the reference receiver: N_dec = 2048 bins,
+    # 48 kHz output from 20 ms blocks.
+    decimate = round(samprate / 48000.0)
+    if N % decimate:
+        raise ValueError(f"N={N} not divisible by decimate={decimate}")
+    out_type = (
+        FilterType.CROSS_CONJ
+        if (mode.demod == "LINEAR" and mode.isb)
+        else FilterType.COMPLEX
+    )
+    slave = SlaveSpec(master, decimate, out_type)
+    dsamprate = samprate / decimate
+    response = set_filter_response(
+        slave, mode.low / dsamprate, mode.high / dsamprate, kaiser_beta
+    )
+    base_idx = slave_bin_indices(slave).astype(np.int32)
+
+    L_dec = L // decimate
+    M_dec = (M - 1) // decimate + 1
+    if mode.demod == "FM":
+        demod_cfg = FMConfig.make(
+            dsamprate, mode.low, mode.high, L_dec, M_dec,
+            headroom_db=headroom_db, kaiser_beta=kaiser_beta,
+            flat=mode.flat, enable_pl=enable_pl and not mode.flat,
+        )
+    elif mode.demod == "AM":
+        demod_cfg = AMConfig.make(
+            dsamprate, headroom_db=headroom_db,
+            recovery_rate_db_s=mode.recovery_rate, hangtime_s=mode.hangtime,
+        )
+    else:
+        demod_cfg = LinearConfig.make(
+            dsamprate, L_dec, headroom_db=headroom_db,
+            recovery_rate_db_s=mode.recovery_rate, hangtime_s=mode.hangtime,
+            pll=mode.pll, square=mode.square, channels=mode.channels,
+            shift_freq=mode.shift / dsamprate,
+        )
+    return BankConfig(
+        samprate=float(samprate),
+        master=master,
+        decimate=decimate,
+        mode=mode,
+        n_channels=n_channels,
+        response=response,
+        base_idx=base_idx,
+        demod_cfg=demod_cfg,
+    )
+
+
+def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
+    """Initial state with every channel tuned (host-side design time)."""
+    B = cfg.n_channels
+    if len(freqs_hz) != B:
+        raise ValueError(f"need {B} frequencies, got {len(freqs_hz)}")
+    N = cfg.N
+    ks, ncos = [], []
+    for f in freqs_hz:
+        nu = f / cfg.samprate
+        k = int(np.round(nu * N))
+        delta = nu - k / N
+        ks.append(k % N)
+        # residual LO at the decimated rate; negative = downconvert
+        ncos.append(set_osc(osc_init(), -delta * cfg.decimate))
+    nco = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ncos)
+    ks64 = np.asarray(ks, np.int64)
+    k_arr = jnp.asarray(ks64.astype(np.int32))
+    # r_0 = k*(0*L - (M-1)) mod N  (chunk 0 starts at sample -(M-1));
+    # computed in int64 on the host to avoid overflow
+    r0 = jnp.asarray(((-(cfg.master.M - 1) * ks64) % N).astype(np.int32))
+    dr0 = jnp.asarray(((ks64 * cfg.master.L) % N).astype(np.int32))
+
+    if cfg.mode.demod == "FM":
+        dstate = fm_init(cfg.demod_cfg, (B,))
+    elif cfg.mode.demod == "AM":
+        dstate = am_init((B,))
+    else:
+        dstate = linear_init(cfg.demod_cfg, (B,))
+
+    return BankState(
+        overlap=jnp.zeros((cfg.master.M - 1,), jnp.complex64),
+        k=k_arr,
+        r=r0,
+        dr=dr0,
+        nco=nco,
+        demod=dstate,
+        gain_factor=jnp.float32(1.0),
+    )
+
+
+def bank_channelize(
+    cfg: BankConfig, state: BankState, fdomain: jax.Array
+) -> tuple[jax.Array, OscState, jax.Array]:
+    """Shared-FFT channel extraction: gather + response + block phase +
+    batched IFFT + residual NCO.  Returns (new_r, new_nco, baseband) with
+    baseband (B, L_dec) complex64."""
+    N, N_dec, L_dec = cfg.N, cfg.N_dec, cfg.L_dec
+    idx = (jnp.asarray(cfg.base_idx)[None, :] + state.k[:, None]) % N
+    gathered = jnp.take(fdomain, idx, axis=0)          # (B, N_dec)
+    resp = jnp.asarray(cfg.response)[None, :]
+    phi = jnp.exp(
+        (-2j * np.pi / N) * state.r.astype(jnp.float32)
+    ).astype(jnp.complex64)
+    f_fd = gathered * resp * phi[:, None]
+    y = jnp.fft.ifft(f_fd, axis=-1) * N_dec
+    y = y[..., N_dec - L_dec:]
+    new_r = (state.r + state.dr) % jnp.int32(N)
+    new_nco, lo = jax.vmap(lambda s: osc_block(s, L_dec))(state.nco)
+    return new_r, new_nco, y * lo
+
+
+def bank_step(
+    cfg: BankConfig, state: BankState, iq_block: jax.Array
+) -> tuple[BankState, jax.Array, dict]:
+    """One wideband block through all channels.
+
+    iq_block: (L,) complex64 at the wideband rate.  Returns
+    (state, audio, diag); audio is (B, L_dec) float32 (mono modes)."""
+    samp = iq_block * state.gain_factor
+    overlap, fdomain = master_execute(cfg.master, state.overlap, samp)
+    new_r, new_nco, baseband = bank_channelize(cfg, state, fdomain)
+
+    if cfg.mode.demod == "FM":
+        dstate, audio, diag = fm_demod(cfg.demod_cfg, state.demod, baseband)
+    elif cfg.mode.demod == "AM":
+        dstate, audio, diag = am_demod(cfg.demod_cfg, state.demod, baseband)
+    else:
+        dstate, audio, diag = linear_demod(cfg.demod_cfg, state.demod, baseband)
+
+    new_state = BankState(
+        overlap=overlap,
+        k=state.k,
+        r=new_r,
+        dr=state.dr,
+        nco=new_nco,
+        demod=dstate,
+        gain_factor=state.gain_factor,
+    )
+    return new_state, audio, diag
+
+
+def bank_step_packed(cfg: BankConfig, template):
+    """bank_step with a real-dtype-only jit boundary (see ops.packing): the
+    target TPU runtime cannot transfer complex64 across host<->device, so
+    state and I/Q cross as float32 (...,2) pairs and all complex math stays
+    inside the program."""
+    from ..ops.packing import tree_c2r, tree_r2c, r2c
+
+    def packed(state_r, x_r):
+        state = tree_r2c(state_r, template)
+        new_state, audio, diag = bank_step(cfg, state, r2c(x_r))
+        return tree_c2r(new_state), audio, diag
+
+    return packed
+
+
+class ChannelBank:
+    """Host wrapper: config + state + jitted step + per-channel retune.
+
+    State is held host/device-side in packed (real) form between calls;
+    the jitted step unpacks, runs, repacks (see bank_step_packed)."""
+
+    def __init__(self, cfg: BankConfig, freqs_hz: Sequence[float]):
+        from ..ops.packing import tree_c2r_np
+
+        self.cfg = cfg
+        self.freqs = list(freqs_hz)
+        # Build the initial state on the host CPU backend: complex arrays
+        # cannot be fetched from the target TPU runtime.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._template = bank_init(cfg, freqs_hz)
+            self.state = tree_c2r_np(
+                jax.tree_util.tree_map(np.asarray, self._template)
+            )
+        self._step = jax.jit(bank_step_packed(cfg, self._template))
+
+    def process(self, iq_block):
+        """iq_block: (L,) complex (numpy ok).  Returns (audio, diag)."""
+        x = np.asarray(iq_block)
+        x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+        self.state, audio, diag = self._step(self.state, x_r)
+        return audio, diag
+
+    def tune(self, channel: int, freq_hz: float) -> None:
+        """Retune one channel without phase discontinuity: the block-phase
+        residue r keeps its value (phase is continuous, osc.c:24-27); only
+        the bin shift k and the residual NCO frequency change."""
+        cfg = self.cfg
+        nu = freq_hz / cfg.samprate
+        k = int(np.round(nu * cfg.N))
+        delta = nu - k / cfg.N
+        self.freqs[channel] = freq_hz
+        st = self.state
+        hi, resid = split_double(-delta * cfg.decimate)
+        new_nco = st.nco._replace(
+            freq=jnp.asarray(st.nco.freq).at[channel].set(np.uint32(hi)),
+            freq_resid=jnp.asarray(st.nco.freq_resid)
+            .at[channel]
+            .set(np.float32(resid)),
+        )
+        km = k % cfg.N
+        self.state = st._replace(
+            k=jnp.asarray(st.k).at[channel].set(km),
+            dr=jnp.asarray(st.dr).at[channel].set(int(km * cfg.master.L % cfg.N)),
+            nco=new_nco,
+        )
+
+
+def make_bank(
+    n_channels: int,
+    mode: str = "FM",
+    freqs_hz: Sequence[float] | None = None,
+    **kw,
+) -> ChannelBank:
+    cfg = make_bank_config(n_channels, mode, **kw)
+    if freqs_hz is None:
+        # Spread channels over the usable band (avoid the outer 5%)
+        usable = 0.9 * cfg.samprate
+        freqs_hz = list(
+            np.linspace(-usable / 2, usable / 2, n_channels, endpoint=False)
+        )
+    return ChannelBank(cfg, freqs_hz)

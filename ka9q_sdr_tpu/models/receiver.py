@@ -1,0 +1,371 @@
+"""Single-channel receiver — TPU-native equivalent of the `radio` program's
+sample path (radio.c proc_samples + one demod thread).
+
+The reference splits the hot path across four pthreads handing off through
+condvars (main.c:234-236, filter.c:194-199).  Here the whole chain —
+front-end gain, second LO + Doppler mix, overlap-save master FFT, slave
+filter, demodulation — is ONE pure block function that jit compiles into a
+single XLA program per 20 ms block.  All state (oscillator phases, filter
+overlaps, AGC gains, squelch counters, noise estimates) is an explicit
+pytree, so the receiver scans over long recordings and vmaps over channels.
+
+Tuning (set_freq / LO2 / Doppler, radio.c:200-316) is control-plane: host
+functions that produce a new state (retuned oscillators keep their phase,
+osc.c:24-27) and, when LO1 must move, a command for the front end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fftfilt import (
+    FilterType,
+    MasterSpec,
+    SlaveSpec,
+    master_init,
+    master_execute,
+    slave_execute,
+    set_filter_response,
+)
+from ..ops.nco import OscState, osc_init, set_osc, osc_block
+from ..utils.modes import ModeDef, DEFAULT_MODES
+from .noise import compute_n0, passband_mask
+from .demod_am import AMConfig, am_init, am_demod
+from .demod_fm import FMConfig, fm_init, fm_demod
+from .demod_linear import LinearConfig, linear_init, linear_demod
+
+__all__ = ["ReceiverConfig", "ReceiverState", "Receiver", "make_receiver"]
+
+#: SDR alias keep-out margin (radio.c:28).
+IF_EXCLUDE = 0.95
+#: int16 / int8 sample scaling (radio.c:38-39).
+SCALE16 = 1.0 / 32767.0
+SCALE8 = 1.0 / 127.0
+#: Default filter dimensions (main.c:113-115): L=3840, M=4353, N=8192.
+DEFAULT_L = 3840
+DEFAULT_M = 4353
+
+
+class ReceiverConfig(NamedTuple):
+    """Static receiver configuration.  Rebuild (make_receiver) on mode or
+    bandwidth change — the reference's set_mode respawns the demod thread
+    (radio.c:322-374); we rebuild the jitted program."""
+
+    samprate: int           # input sample rate, Hz
+    decimate: int           # samprate / output rate (radio_status.c:264-267)
+    mode: ModeDef
+    master: MasterSpec
+    slave: SlaveSpec
+    response: np.ndarray    # slave frequency response
+    n0_mask: np.ndarray     # passband mask for compute_n0
+    n0_alpha: float         # n0 smoothing (fm.c:82 = .01, am/linear = .001)
+    demod_cfg: object       # FMConfig | AMConfig | LinearConfig
+
+    @property
+    def dsamprate(self) -> float:
+        return self.samprate / self.decimate
+
+    @property
+    def L(self) -> int:
+        return self.master.L
+
+    @property
+    def blocktime(self) -> float:
+        return self.master.L / self.samprate
+
+
+class ReceiverState(NamedTuple):
+    overlap: jax.Array       # master filter overlap
+    lo2: OscState            # second (software) LO
+    doppler: OscState        # Doppler sweep oscillator
+    demod: object            # demod-specific state pytree
+    n0: jax.Array            # float32, smoothed noise density
+    if_power: jax.Array      # float32
+    gain_factor: jax.Array   # float32, front-end analog gain compensation
+
+
+def make_receiver_config(
+    mode: str | ModeDef,
+    samprate: int = 192000,
+    out_rate: int = 48000,
+    L: int = DEFAULT_L,
+    M: int = DEFAULT_M,
+    kaiser_beta: float = 3.0,
+    headroom_db: float = -15.0,
+    enable_pl: bool = True,
+) -> ReceiverConfig:
+    """Build a config the way main.c + set_mode do at startup."""
+    if isinstance(mode, str):
+        mode = DEFAULT_MODES[mode.upper()]
+    if samprate % out_rate:
+        raise ValueError(f"samprate {samprate} not divisible by {out_rate}")
+    decimate = samprate // out_rate
+    master = MasterSpec(L, M, FilterType.COMPLEX)
+    dsamprate = samprate / decimate
+
+    if mode.demod == "LINEAR" and mode.isb:
+        out_type = FilterType.CROSS_CONJ
+    else:
+        out_type = FilterType.COMPLEX
+    slave = SlaveSpec(master, decimate, out_type)
+    # set_filter edges in cycles/sample of the decimated rate
+    # (fm.c:35, am.c:41, linear.c:81)
+    response = set_filter_response(
+        slave, mode.low / dsamprate, mode.high / dsamprate, kaiser_beta
+    )
+    mask = passband_mask(master.N, samprate, mode.low, mode.high)
+
+    L_dec = L // decimate
+    M_dec = (M - 1) // decimate + 1
+    if mode.demod == "FM":
+        demod_cfg = FMConfig.make(
+            dsamprate,
+            mode.low,
+            mode.high,
+            L_dec,
+            M_dec,
+            headroom_db=headroom_db,
+            kaiser_beta=kaiser_beta,
+            flat=mode.flat,
+            enable_pl=enable_pl and not mode.flat,
+        )
+        n0_alpha = 0.01
+    elif mode.demod == "AM":
+        demod_cfg = AMConfig.make(
+            dsamprate,
+            headroom_db=headroom_db,
+            recovery_rate_db_s=mode.recovery_rate,
+            hangtime_s=mode.hangtime,
+        )
+        n0_alpha = 0.001
+    else:
+        demod_cfg = LinearConfig.make(
+            dsamprate,
+            L_dec,
+            headroom_db=headroom_db,
+            recovery_rate_db_s=mode.recovery_rate,
+            hangtime_s=mode.hangtime,
+            pll=mode.pll,
+            square=mode.square,
+            channels=mode.channels,
+            shift_freq=mode.shift / dsamprate,  # set_shift, radio.c:304-311
+        )
+        n0_alpha = 0.001
+
+    return ReceiverConfig(
+        samprate=samprate,
+        decimate=decimate,
+        mode=mode,
+        master=master,
+        slave=slave,
+        response=response,
+        n0_mask=mask,
+        n0_alpha=n0_alpha,
+        demod_cfg=demod_cfg,
+    )
+
+
+def receiver_init(cfg: ReceiverConfig, batch_shape=()) -> ReceiverState:
+    if cfg.mode.demod == "FM":
+        dstate = fm_init(cfg.demod_cfg, batch_shape)
+    elif cfg.mode.demod == "AM":
+        dstate = am_init(batch_shape)
+    else:
+        dstate = linear_init(cfg.demod_cfg, batch_shape)
+    osc = jax.tree_util.tree_map(
+        lambda v: jnp.broadcast_to(v, batch_shape + v.shape), osc_init()
+    )
+    return ReceiverState(
+        overlap=jnp.zeros(batch_shape + (cfg.master.M - 1,), jnp.complex64),
+        lo2=osc,
+        doppler=osc,
+        demod=dstate,
+        n0=jnp.full(batch_shape, jnp.nan, jnp.float32),
+        if_power=jnp.zeros(batch_shape, jnp.float32),
+        gain_factor=jnp.ones(batch_shape, jnp.float32),
+    )
+
+
+def receiver_step(
+    cfg: ReceiverConfig, state: ReceiverState, iq_block: jax.Array
+) -> tuple[ReceiverState, jax.Array, dict]:
+    """One L-sample block through the full receiver (the hot loop,
+    radio.c:106-147 + the demod thread body).
+
+    iq_block: (..., L) complex64 at the input rate, already scaled to
+    +/-1.0 full scale (the int16/int8 scaling of radio.c:113-119 happens
+    in the host feeder or via `scale_iq`).
+    """
+    samp = iq_block * state.gain_factor[..., None]
+    # block_energy * 0.5 / in_cnt (two components per sample, radio.c:143-144)
+    if_power = 0.5 * jnp.mean(
+        jnp.real(samp) ** 2 + jnp.imag(samp) ** 2, axis=-1
+    )
+
+    # Second LO and Doppler (radio.c:131-136); both keep phase through gaps
+    lo2, lo = osc_block(state.lo2, cfg.L)
+    samp = samp * lo
+    doppler, dlo = osc_block(state.doppler, cfg.L)
+    samp = samp * dlo
+
+    overlap, fdomain = master_execute(cfg.master, state.overlap, samp)
+
+    n0_raw = compute_n0(fdomain, jnp.asarray(cfg.n0_mask), cfg.samprate)
+    n0 = jnp.where(
+        jnp.isnan(state.n0),
+        n0_raw,
+        state.n0 + cfg.n0_alpha * (n0_raw - state.n0),
+    )
+
+    baseband = slave_execute(cfg.slave, fdomain, jnp.asarray(cfg.response))
+
+    if cfg.mode.demod == "FM":
+        dstate, audio, diag = fm_demod(cfg.demod_cfg, state.demod, baseband)
+    elif cfg.mode.demod == "AM":
+        dstate, audio, diag = am_demod(cfg.demod_cfg, state.demod, baseband)
+    else:
+        dstate, audio, diag = linear_demod(cfg.demod_cfg, state.demod, baseband)
+
+    diag = dict(diag)
+    diag["n0"] = n0
+    diag["if_power"] = if_power
+
+    new_state = ReceiverState(
+        overlap=overlap,
+        lo2=lo2,
+        doppler=doppler,
+        demod=dstate,
+        n0=n0,
+        if_power=if_power,
+        gain_factor=state.gain_factor,
+    )
+    return new_state, audio, diag
+
+
+def scale_iq(raw: jax.Array, bits: int = 16) -> jax.Array:
+    """int16/int8 interleaved I/Q -> complex64 full scale (radio.c:106-120).
+    raw: (..., 2n) int array, I/Q interleaved."""
+    scale = SCALE16 if bits == 16 else SCALE8
+    x = raw.astype(jnp.float32) * scale
+    return jax.lax.complex(x[..., 0::2], x[..., 1::2])
+
+
+@dataclass
+class SDRStatus:
+    """Mirror of the front end's TLV status (struct sdr, radio.h), as used
+    by the tuning math (radio.c:200-284)."""
+
+    samprate: int = 192000
+    frequency: float = 0.0   # LO1, Hz
+    min_IF: float = -91200.0
+    max_IF: float = 91200.0
+
+
+def receiver_step_packed(cfg: ReceiverConfig, template):
+    """receiver_step with a real-dtype-only jit boundary (the target TPU
+    runtime cannot transfer complex64 host<->device; see ops.packing)."""
+    from ..ops.packing import tree_c2r, tree_r2c, r2c
+
+    def packed(state_r, x_r):
+        state = tree_r2c(state_r, template)
+        new_state, audio, diag = receiver_step(cfg, state, r2c(x_r))
+        return tree_c2r(new_state), audio, diag
+
+    return packed
+
+
+class Receiver:
+    """Host-side receiver wrapper: owns config, state, the jitted step, and
+    the control-plane tuning functions of radio.c.
+
+    State crosses the jit boundary packed as float32 (...,2) pairs; complex
+    math lives entirely inside the program (see receiver_step_packed).
+    Control-plane functions edit the packed state host-side (the leaves
+    they touch — oscillator frequency words, gain — are real anyway)."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        from ..ops.packing import tree_c2r_np
+
+        self.cfg = cfg
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._template = receiver_init(cfg)
+            self.state = tree_c2r_np(
+                jax.tree_util.tree_map(np.asarray, self._template)
+            )
+        self.sdr = SDRStatus(samprate=cfg.samprate)
+        self.tune_freq = 0.0
+        self._step = jax.jit(receiver_step_packed(cfg, self._template))
+
+    def process(self, iq_block):
+        """Run one L-sample complex block; returns (audio, diag)."""
+        x = np.asarray(iq_block)
+        x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+        self.state, audio, diag = self._step(self.state, x_r)
+        return audio, diag
+
+    # ---- control plane (radio.c:200-316) ----
+
+    def lo2_in_range(self, f: float, avoid_alias: bool) -> bool:
+        """LO2_in_range (radio.c:273-284)."""
+        if avoid_alias:
+            return (
+                f >= self.sdr.min_IF + max(0.0, self.cfg.mode.high)
+                and f <= self.sdr.max_IF + min(0.0, self.cfg.mode.low)
+            )
+        return abs(f) <= 0.5 * self.cfg.samprate
+
+    def set_second_lo(self, second_lo: float) -> None:
+        """set_second_LO (radio.c:290-301); phase is preserved."""
+        f = 0.0 if second_lo == 0 else second_lo / self.cfg.samprate
+        self.state = self.state._replace(lo2=set_osc(self.state.lo2, f))
+
+    def set_doppler(self, freq: float, rate: float) -> None:
+        """set_doppler (radio.c:180-184)."""
+        fs = self.cfg.samprate
+        self.state = self.state._replace(
+            doppler=set_osc(self.state.doppler, -freq / fs, -rate / (fs * fs))
+        )
+
+    def set_freq(self, f: float, new_lo2: float = np.nan) -> Optional[float]:
+        """set_freq (radio.c:204-242).  Tuning model: RF = LO1 - LO2.
+
+        Returns the LO1 frequency the front end must move to, or None if
+        LO2 absorbed the whole retune.  The caller sends the LO1 command
+        over the control channel (net.status) when not None.
+        """
+        self.tune_freq = f
+        lo1 = self.sdr.frequency
+        if np.isnan(new_lo2) or not self.lo2_in_range(new_lo2, False):
+            new_lo2 = -(f - lo1)
+            if not self.lo2_in_range(new_lo2, True):
+                new_lo2 = self.sdr.samprate / 4.0
+        new_lo1 = f + new_lo2
+        command = None
+        if new_lo1 != lo1 and new_lo1 > 0:
+            command = new_lo1
+        if self.lo2_in_range(new_lo2, False):
+            self.set_second_lo(new_lo2)
+        return command
+
+    def update_first_lo(self, actual_lo1: float) -> None:
+        """Front-end status reported a (possibly quantized) LO1; retune LO2
+        to compensate so RF stays put (radio_status.c:311-316)."""
+        if self.sdr.frequency != actual_lo1:
+            self.sdr.frequency = actual_lo1
+            new_lo2 = -(self.tune_freq - actual_lo1)
+            if self.lo2_in_range(new_lo2, False):
+                self.set_second_lo(new_lo2)
+
+    def set_gain_factor(self, g: float) -> None:
+        self.state = self.state._replace(
+            gain_factor=jnp.float32(g)
+        )
+
+
+def make_receiver(mode: str = "FM", **kw) -> Receiver:
+    return Receiver(make_receiver_config(mode, **kw))

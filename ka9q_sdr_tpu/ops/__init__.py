@@ -27,6 +27,7 @@ from .nco import (
     OscState,
     osc_init,
     set_osc,
+    set_osc_traced,
     osc_block,
     split_double,
     phase_ramp,

@@ -34,6 +34,7 @@ __all__ = [
     "OscState",
     "osc_init",
     "set_osc",
+    "set_osc_traced",
     "split_double",
     "phase_ramp",
     "osc_block",
@@ -86,6 +87,26 @@ def set_osc(state: OscState, f: float, r: float = 0.0) -> OscState:
         freq=jnp.uint32(hi),
         freq_resid=jnp.float32(resid),
         rate=jnp.float32(r),
+        phase_resid=state.phase_resid,
+    )
+
+
+def set_osc_traced(state: OscState, f: jax.Array, r=0.0) -> OscState:
+    """In-jit retune for feedback loops (the PLL's per-block set_osc calls,
+    linear.c:198,234).
+
+    `f` is a traced float32 frequency in cycles/sample.  Control-loop
+    frequencies are small (|f| << 1), so the whole frequency lives in the
+    float32 residual; the fixed-point word is zeroed.  Phase is preserved
+    (osc.c:24-27 semantics).  osc_advance folds the residual into the exact
+    accumulator every block, so long-run phase still wraps correctly.
+    """
+    f = jnp.asarray(f, jnp.float32)
+    return OscState(
+        phase=state.phase,
+        freq=jnp.uint32(0),
+        freq_resid=f,
+        rate=jnp.asarray(r, jnp.float32),
         phase_resid=state.phase_resid,
     )
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["c2r", "r2c", "tree_c2r", "tree_r2c"]
+__all__ = ["c2r", "r2c", "tree_c2r", "tree_r2c", "c2r_np", "tree_c2r_np"]
 
 
 def c2r(x: jax.Array) -> jax.Array:
@@ -42,4 +42,22 @@ def tree_r2c(tree, template):
     complex (by dtype)."""
     return jax.tree_util.tree_map(
         lambda v, t: r2c(v) if jnp.iscomplexobj(t) else v, tree, template
+    )
+
+
+def c2r_np(x):
+    """Host-side (numpy) c2r, for building initial packed state without
+    touching the device."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+
+def tree_c2r_np(tree):
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda v: c2r_np(v) if np.iscomplexobj(np.asarray(v)) else np.asarray(v),
+        tree,
     )

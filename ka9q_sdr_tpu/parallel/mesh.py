@@ -1,0 +1,89 @@
+"""Device-mesh utilities: shard the channel bank's channel axis.
+
+Design (SURVEY.md §5 "long-context"): the per-block work is one shared
+wideband FFT plus per-channel gather/IFFT/demod.  The FFT is cheap relative
+to HBM traffic and replicating it avoids any collective, so the sharding is:
+
+- wideband input block + master overlap: fully replicated;
+- every per-channel state leaf (bin shifts, NCO phases, demod state) and
+  the audio output: sharded on the leading channel axis.
+
+XLA then partitions the gather and the batched IFFTs/demods across devices
+with zero communication.  If the wideband FFT itself ever dominates (north
+star >100 Msps), shard the *frequency* axis of the master FFT instead and
+all_gather only each device's gathered channel bins — the hook for that is
+make_sharded_bank_step's `shard_fft` flag (not yet implemented).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.bank import BankConfig, BankState, bank_step_packed
+
+__all__ = [
+    "make_channel_mesh",
+    "bank_state_shardings",
+    "shard_bank_state",
+    "make_sharded_bank_step",
+]
+
+CHANNEL_AXIS = "ch"
+
+
+def make_channel_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (CHANNEL_AXIS,))
+
+
+def bank_state_shardings(mesh: Mesh, state: BankState) -> BankState:
+    """Sharding pytree matching a (packed or unpacked) BankState: channel
+    leaves on the mesh axis, shared leaves replicated."""
+    rep = NamedSharding(mesh, P())
+
+    def ch_of(leaf):
+        return NamedSharding(
+            mesh, P(CHANNEL_AXIS, *([None] * (np.ndim(leaf) - 1)))
+        )
+
+    ch_tree = lambda t: jax.tree_util.tree_map(ch_of, t)
+    return BankState(
+        overlap=rep,
+        k=ch_of(state.k),
+        r=ch_of(state.r),
+        dr=ch_of(state.dr),
+        nco=ch_tree(state.nco),
+        demod=ch_tree(state.demod),
+        gain_factor=rep,
+    )
+
+
+def shard_bank_state(mesh: Mesh, state: BankState) -> BankState:
+    """device_put a (packed) BankState onto the mesh."""
+    sh = bank_state_shardings(mesh, state)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, s), state, sh
+    )
+
+
+def make_sharded_bank_step(cfg: BankConfig, mesh: Mesh, template, packed_state):
+    """jit the packed bank step with channel-axis input shardings.
+
+    `template` is the unpacked BankState structure (complex dtypes marked),
+    `packed_state` a packed state used to derive the sharding pytree.
+    Returns (step_fn, sharded_initial_state).
+    """
+    shardings = bank_state_shardings(mesh, packed_state)
+    x_sh = NamedSharding(mesh, P())  # wideband block replicated
+    step = jax.jit(
+        bank_step_packed(cfg, template),
+        in_shardings=(shardings, x_sh),
+    )
+    return step, jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, s), packed_state, shardings
+    )

@@ -1,0 +1,78 @@
+"""Small host-side helpers (reference: misc.h macros, display.c:1089-1132).
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = [
+    "parse_frequency",
+    "db2voltage",
+    "voltage2db",
+    "power2db",
+    "db2power",
+    "GPS_UTC_OFFSET",
+    "UNIX_EPOCH_GPS",
+]
+
+#: GPS-UTC leap second offset and GPS epoch in UNIX time (sdr.h timestamp
+#: convention: nanoseconds since GPS epoch 1980-01-06).
+GPS_UTC_OFFSET = 18
+UNIX_EPOCH_GPS = 315964800
+
+
+def db2voltage(db: float) -> float:
+    return 10.0 ** (db / 20.0)
+
+
+def voltage2db(v: float) -> float:
+    return 20.0 * math.log10(v)
+
+
+def db2power(db: float) -> float:
+    return 10.0 ** (db / 10.0)
+
+
+def power2db(p: float) -> float:
+    return 10.0 * math.log10(p)
+
+
+def parse_frequency(s: str) -> float:
+    """Parse a frequency entry (display.c:1089-1132).
+
+    ``12345`` = 12345 Hz; ``12k345`` = 12.345 kHz; ``12m345`` = 12.345 MHz;
+    ``12g345`` = 12.345 GHz.  Without a suffix, small numbers get a
+    heuristic kHz/MHz guess assuming 100 kHz - 2 GHz coverage.
+    """
+    ss = s.lower()
+    mult = 1.0
+    for letter, m in (("g", 1e9), ("m", 1e6), ("k", 1e3)):
+        if letter in ss:
+            ss = ss.replace(letter, ".", 1)
+            mult = m
+            break
+    try:
+        # strtod-style: parse the leading numeric prefix
+        for end in range(len(ss), 0, -1):
+            try:
+                f = float(ss[:end])
+                break
+            except ValueError:
+                continue
+        else:
+            return 0.0
+    except ValueError:
+        return 0.0
+    if f == 0:
+        return 0.0
+    if mult != 1.0 or f >= 1e5:
+        return f * mult
+    if f < 100:
+        return f * 1e6
+    if f < 500:
+        return f * 1e6
+    if f < 2000:
+        return f * 1e3
+    if f < 100000:
+        return f * 1e3
+    return f

@@ -1,0 +1,266 @@
+"""End-to-end demodulator tests against synthetic signals with known
+content — the formalisation of the reference's modulate->iqplay->radio
+closed-loop method (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.models.receiver import (
+    Receiver,
+    make_receiver_config,
+)
+
+FS = 192000
+L = 3840
+
+
+def run_rx(rx, gen, nblocks=25):
+    out = []
+    diag = None
+    for b in range(nblocks):
+        tt = (b * L + np.arange(L)) / FS
+        audio, diag = rx.process(gen(tt).astype(np.complex64))
+        out.append(np.asarray(audio))
+    return np.concatenate(out, axis=0), diag
+
+
+def tone_freq(audio, rate=48000):
+    seg = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1.0 / rate)
+    return f[np.argmax(spec[5:]) + 5]
+
+
+class TestAM:
+    def test_am_tone(self):
+        rx = Receiver(make_receiver_config("AM", samprate=FS))
+        rx.set_freq(10000.0)
+        audio, diag = run_rx(
+            rx,
+            lambda tt: 0.3
+            * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+            * np.exp(2j * np.pi * 10000 * tt),
+            nblocks=50,
+        )
+        assert abs(tone_freq(audio) - 400.0) < 5.0
+        # DC (carrier) removed: mean near zero relative to rms once the
+        # 1e-4/sample DC tracker has settled (tau = 10k samples at 48 kHz)
+        seg = audio[-5000:]
+        assert abs(seg.mean()) < 0.1 * np.sqrt((seg**2).mean())
+
+    def test_agc_levels_output(self):
+        """Same tone at -20 dB different input level -> similar output
+        level once AGC settles (am.c:64-74)."""
+        outs = []
+        for amp in (0.3, 0.03):
+            rx = Receiver(make_receiver_config("AM", samprate=FS))
+            rx.set_freq(10000.0)
+            audio, _ = run_rx(
+                rx,
+                lambda tt: amp
+                * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+                * np.exp(2j * np.pi * 10000 * tt),
+                nblocks=30,
+            )
+            seg = audio[-20000:]
+            outs.append(np.sqrt((seg**2).mean()))
+        assert 0.25 < outs[1] / outs[0] < 4.0
+
+
+class TestFM:
+    def _fm_iq(self, tt, fdev=5000.0, fmod=1000.0, carrier=20000.0, amp=0.5):
+        inst = fdev * np.cos(2 * np.pi * fmod * tt)
+        ph = np.cumsum(2 * np.pi * inst / FS)
+        return amp * np.exp(1j * (2 * np.pi * carrier * tt + ph))
+
+    def test_fm_tone(self):
+        rx = Receiver(make_receiver_config("FM", samprate=FS))
+        rx.set_freq(20000.0)
+        audio, diag = run_rx(rx, self._fm_iq)
+        assert abs(tone_freq(audio) - 1000.0) < 10.0
+        assert bool(diag["squelch_open"])
+        assert float(diag["snr"]) > 100.0
+
+    def test_squelch_closes_on_noise(self):
+        rng = np.random.default_rng(1)
+        rx = Receiver(make_receiver_config("FM", samprate=FS))
+        rx.set_freq(20000.0)
+        audio, diag = run_rx(
+            rx,
+            lambda tt: 1e-3
+            * (rng.standard_normal(len(tt)) + 1j * rng.standard_normal(len(tt))),
+            nblocks=6,
+        )
+        assert not bool(diag["squelch_open"])
+        # zeros propagate through the audio filter's overlap memory within
+        # ~2 blocks of the squelch closing; the tail must be exactly zero
+        assert np.all(audio[-1920:] == 0.0)
+
+    def test_deviation_estimate(self):
+        rx = Receiver(make_receiver_config("FM", samprate=FS))
+        rx.set_freq(20000.0)
+        _, diag = run_rx(rx, self._fm_iq, nblocks=10)
+        assert 4000.0 < float(diag["pdeviation"]) < 6500.0
+
+    def test_flat_mode(self):
+        rx = Receiver(make_receiver_config("FMF", samprate=FS))
+        rx.set_freq(20000.0)
+        audio, _ = run_rx(rx, self._fm_iq)
+        assert abs(tone_freq(audio) - 1000.0) < 10.0
+
+    def test_pl_tone_detected(self):
+        """100 Hz PL tone at small deviation should be measured by the
+        pltask equivalent (fm.c:251-277): needs > 10.9 s of signal."""
+        rx = Receiver(make_receiver_config("FM", samprate=FS))
+        rx.set_freq(20000.0)
+        phase = {"p": 0.0}
+
+        def gen(tt):
+            inst = 3000 * np.cos(2 * np.pi * 1000 * tt) + 750 * np.cos(
+                2 * np.pi * 100.3 * tt
+            )
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            return 0.5 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+
+        _, diag = run_rx(rx, gen, nblocks=30)  # 0.6 s: ring partly filled
+        pl = float(diag["plfreq"])
+        # With a short run the ring is mostly zeros but the tone dominates.
+        assert not np.isnan(pl)
+        assert abs(pl - 100.3) < 2.0
+
+
+class TestLinear:
+    def test_usb_tone(self):
+        rx = Receiver(make_receiver_config("USB", samprate=FS))
+        rx.set_freq(30000.0)
+        audio, _ = run_rx(
+            rx, lambda tt: 0.2 * np.exp(2j * np.pi * 31000 * tt)
+        )
+        assert audio.ndim == 1  # mono
+        assert abs(tone_freq(audio) - 1000.0) < 10.0
+
+    def test_lsb_rejects_usb(self):
+        rx = Receiver(make_receiver_config("LSB", samprate=FS))
+        rx.set_freq(30000.0)
+        audio, _ = run_rx(
+            rx, lambda tt: 0.2 * np.exp(2j * np.pi * 31000 * tt)
+        )
+        seg = audio[len(audio) // 2:]
+        # +1 kHz is in the rejected sideband: output stays far below the
+        # AGC-settled level a passband tone would reach
+        assert np.sqrt((seg**2).mean()) < 0.02
+
+    def test_cwu_offset(self):
+        """CW mode shifts the passband so a carrier at the dial frequency
+        comes out at +700 Hz (modes.txt CWU)."""
+        rx = Receiver(make_receiver_config("CWU", samprate=FS))
+        rx.set_freq(30000.0)
+        audio, _ = run_rx(
+            rx, lambda tt: 0.2 * np.exp(2j * np.pi * 30000 * tt)
+        )
+        assert abs(tone_freq(audio) - 700.0) < 10.0
+
+    def test_iq_stereo(self):
+        rx = Receiver(make_receiver_config("IQ", samprate=FS))
+        rx.set_freq(30000.0)
+        audio, _ = run_rx(
+            rx, lambda tt: 0.2 * np.exp(2j * np.pi * 31000 * tt), nblocks=5
+        )
+        assert audio.shape[-1] == 2  # stereo (I,Q)
+
+    def test_cam_pll_locks(self):
+        """Coherent AM: PLL should lock to a full-carrier AM signal with a
+        small frequency error and drive foffset toward it."""
+        rx = Receiver(make_receiver_config("CAM", samprate=FS))
+        rx.set_freq(30000.0)
+        ferr = 20.0
+        audio, diag = run_rx(
+            rx,
+            lambda tt: 0.3
+            * (1 + 0.3 * np.sin(2 * np.pi * 400 * tt))
+            * np.exp(2j * np.pi * (30000 + ferr) * tt),
+            # acquisition FFT needs 0.7 s of samples; the +/-1 s lock
+            # hysteresis (linear.c:50) then needs ~100 blocks to swing from
+            # fully-unlocked to locked
+            nblocks=160,
+        )
+        # foffset display smooths at 0.001/block (linear.c:245, tau ~20 s);
+        # check the loop internals instead: locked, and the FFT acquisition
+        # found the carrier offset within a bin or two
+        assert bool(diag["pll_lock"])
+        assert abs(float(np.asarray(rx.state.demod.delta_f)) - ferr) < 2.0
+
+
+class TestBank:
+    def test_bank_matches_singlechannel_structure(self):
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs = 1.536e6
+        cfg = make_bank_config(4, "AM", samprate=fs, L=30720, M=34817)
+        freqs = [-300e3, -75e3, 150e3, 333e3]
+        bank = ChannelBank(cfg, freqs)
+        out = []
+        for b in range(20):
+            tt = (b * 30720 + np.arange(30720)) / fs
+            sig = (
+                0.3
+                * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+                * np.exp(2j * np.pi * freqs[2] * tt)
+            ).astype(np.complex64)
+            audio, _ = bank.process(sig)
+            out.append(np.asarray(audio))
+        a = np.concatenate(out, axis=-1)
+        assert a.shape[0] == 4
+        assert abs(tone_freq(a[2]) - 400.0) < 5.0
+
+    def test_bank_offbin_phase_continuity(self):
+        """Tone at an off-bin channel center must come out as clean DC:
+        validates the r/dr block-phase correction and residual NCO."""
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config,
+            bank_init,
+            bank_channelize,
+        )
+        from ka9q_sdr_tpu.ops.fftfilt import master_execute
+
+        fs = 1.536e6
+        cfg = make_bank_config(2, "IQ", samprate=fs, L=30720, M=34817)
+        f0 = 123456.789
+        st = bank_init(cfg, [f0, -100e3])
+        outs = []
+        for b in range(6):
+            tt = (b * 30720 + np.arange(30720)) / fs
+            sig = (0.5 * np.exp(2j * np.pi * (f0 + 1000.0) * tt)).astype(
+                np.complex64
+            )
+            overlap, fd = master_execute(cfg.master, st.overlap, sig)
+            new_r, new_nco, bb = bank_channelize(cfg, st, fd)
+            st = st._replace(overlap=overlap, r=new_r, nco=new_nco)
+            outs.append(np.asarray(bb[0]))
+        a = np.concatenate(outs)[2000:]
+        ph = np.unwrap(np.angle(a))
+        freq = (ph[-1] - ph[0]) / (len(ph) - 1) / (2 * np.pi) * 48000
+        assert abs(freq - 1000.0) < 0.01
+        resid = ph - np.linspace(ph[0], ph[-1], len(ph))
+        assert np.std(resid) < 1e-3
+
+    def test_bank_retune(self):
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs = 1.536e6
+        cfg = make_bank_config(2, "AM", samprate=fs, L=30720, M=34817)
+        bank = ChannelBank(cfg, [-100e3, 100e3])
+        bank.tune(0, 222e3)
+        out = []
+        for b in range(20):
+            tt = (b * 30720 + np.arange(30720)) / fs
+            sig = (
+                0.3
+                * (1 + 0.5 * np.sin(2 * np.pi * 700 * tt))
+                * np.exp(2j * np.pi * 222e3 * tt)
+            ).astype(np.complex64)
+            audio, _ = bank.process(sig)
+            out.append(np.asarray(audio))
+        a = np.concatenate(out, axis=-1)
+        assert abs(tone_freq(a[0]) - 700.0) < 5.0
