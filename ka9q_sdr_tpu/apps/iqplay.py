@@ -1,0 +1,106 @@
+"""iqplay — replay I/Q recordings (or stdin) as an RTP multicast stream.
+
+The hardware simulator (iqplay.c): lets the whole stack run with zero
+radio hardware.  Emits IQ_PT packets of 240 samples (1.25 ms, 800 pkt/s,
+funcube.c:72-75) with the legacy 24-byte status header, paced to real
+time against the wall clock (iqplay.c:35-108).
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.iqplay -R 239.1.1.1:5004 rec.iq
+  ... | python -m ka9q_sdr_tpu.apps.iqplay -R 239.1.1.1:5004 -r 192000 -
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..net.multicast import setup_mcast
+from ..net.rtp import RTPHeader, IQ_PT
+from ..net.sdr_header import LegacyStatus
+from ..io.iqfile import read_metadata
+from ..utils.misc import UNIX_EPOCH_GPS, GPS_UTC_OFFSET
+
+BLOCKSIZE = 240   # samples per packet (iqplay.c / funcube.c:72)
+
+
+def play_stream(
+    read_block,
+    sock,
+    samprate: int,
+    frequency: float,
+    realtime: bool = True,
+    status_interval: int = 1,
+):
+    """Send packets from read_block() (returns <=BLOCKSIZE*4 bytes of s16le
+    I/Q or b'' at EOF), pacing to the sample clock."""
+    seq = 0
+    timestamp = 0
+    ssrc = int(time.time()) & 0xFFFFFFFF
+    t0 = time.monotonic()
+    sent = 0
+    gps_ns = int((time.time() - UNIX_EPOCH_GPS + GPS_UTC_OFFSET) * 1e9)
+    while True:
+        data = read_block()
+        if not data:
+            return sent
+        nsamp = len(data) // 4
+        hdr = RTPHeader(type=IQ_PT, seq=seq, timestamp=timestamp, ssrc=ssrc)
+        status = LegacyStatus(
+            timestamp=gps_ns + int(timestamp * 1e9 / samprate),
+            frequency=frequency,
+            samprate=samprate,
+        )
+        sock.send(hdr.to_bytes() + status.to_bytes() + data)
+        seq = (seq + 1) & 0xFFFF
+        timestamp = (timestamp + nsamp) & 0xFFFFFFFF
+        sent += 1
+        if realtime:
+            # pace against the wall clock (iqplay.c gettimeofday pacing)
+            due = t0 + timestamp / samprate
+            delay = due - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="iqplay")
+    p.add_argument("-R", "--output", required=True, help="dest multicast name:port")
+    p.add_argument("-r", "--samprate", type=int, default=0)
+    p.add_argument("-f", "--frequency", type=float, default=0.0)
+    p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--fast", action="store_true", help="no real-time pacing")
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("files", nargs="+", help="recordings, or - for stdin")
+    args = p.parse_args(argv)
+
+    sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+    for path in args.files:
+        if path == "-":
+            samprate = args.samprate or 192000
+            freq = args.frequency
+            f = sys.stdin.buffer
+            reader = lambda: f.read(BLOCKSIZE * 4)
+        else:
+            attrs = read_metadata(path)
+            samprate = args.samprate or int(attrs.get("samplerate", 192000))
+            freq = args.frequency or float(attrs.get("frequency", 0.0))
+            fh = open(path, "rb")
+
+            def reader(fh=fh):
+                d = fh.read(BLOCKSIZE * 4)
+                if not d and args.loop:
+                    fh.seek(0)
+                    d = fh.read(BLOCKSIZE * 4)
+                return d
+
+        n = play_stream(reader, sock, samprate, freq, realtime=not args.fast)
+        print(f"{path}: {n} packets", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""iqrecord — record RTP I/Q or PCM sessions to files (iqrecord.c).
+
+One file per (sender, SSRC) session, headerless s16 with xattr metadata;
+RTP timestamp gaps become sparse-file holes preserving sample timing.
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.iqrecord -I 239.1.1.1:5004 -d /tmp/recs
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..net.multicast import setup_mcast
+from ..net.rtp import RTPHeader, IQ_PT, IQ_PT8, PCM_MONO_PT, PCM_STEREO_PT
+from ..net.sdr_header import LegacyStatus, LEGACY_STATUS_SIZE
+from ..io.iqfile import IQRecorder
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="iqrecord")
+    p.add_argument("-I", "--input", required=True, help="multicast name:port")
+    p.add_argument("-d", "--directory", default=".")
+    p.add_argument("--packets", type=int, default=0, help="stop after N")
+    args = p.parse_args(argv)
+
+    sock = setup_mcast(args.input, output=False)
+    sessions: dict[tuple, IQRecorder] = {}
+    n = 0
+    try:
+        while True:
+            data, sender = sock.recvfrom(9000)
+            try:
+                hdr, off = RTPHeader.from_bytes(data)
+            except ValueError:
+                continue
+            if hdr.type not in (IQ_PT, IQ_PT8, PCM_MONO_PT, PCM_STEREO_PT):
+                continue
+            payload = data[off:]
+            freq = 0.0
+            samprate = 192000
+            if hdr.type in (IQ_PT, IQ_PT8):
+                # legacy status header carries frequency/rate (iqrecord.c)
+                if len(payload) >= LEGACY_STATUS_SIZE:
+                    status = LegacyStatus.from_bytes(payload)
+                    if status.samprate:
+                        samprate = status.samprate
+                        freq = status.frequency
+                    payload = payload[LEGACY_STATUS_SIZE:]
+            key = (sender[0], hdr.ssrc)
+            rec = sessions.get(key)
+            if rec is None:
+                rec = IQRecorder(
+                    directory=args.directory,
+                    frequency=freq,
+                    samprate=samprate,
+                    source=sender[0],
+                    multicast=args.input,
+                )
+                sessions[key] = rec
+            rec.write_packet(hdr, payload)
+            n += 1
+            if args.packets and n >= args.packets:
+                return 0
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        for rec in sessions.values():
+            rec.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

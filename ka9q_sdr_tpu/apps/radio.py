@@ -1,0 +1,341 @@
+"""The core receiver daemon — TPU-native `radio` (main.c / radio.c).
+
+I/Q RTP multicast (or a recording) in; 48 kHz PCM RTP multicast out;
+TLV status out at 10 Hz on the output port + 2 with delta compression;
+TLV commands (retune) accepted on the same socket; front-end TLV status
+ingested from the input port + 2 (LO1 changes retune LO2 to compensate).
+
+The reference runs four pthreads handing off through condvars; here one
+thread does network receive into the block assembler and the jitted
+receiver consumes dense blocks — the TPU program is the pipeline.
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.radio -I 239.1.1.1:5004 -R 239.2.1.1:5004 \\
+      -f 147m435 -m FM
+  python -m ka9q_sdr_tpu.apps.radio --iq-file rec.iq -f 10k -m AM \\
+      --pcm-raw out.pcm --blocks 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import select
+import socket
+import sys
+import time
+
+import numpy as np
+
+from ..models.receiver import Receiver, make_receiver_config
+from ..net.multicast import setup_mcast
+from ..net.rtp import RTPHeader
+from ..net import status as st
+from ..net.status import StatusType, StatusCompactor
+from ..io.pcm import PCMOutput
+from ..io.assembler import BlockAssembler
+from ..io.iqfile import IQReader
+from ..utils.misc import parse_frequency, power2db
+from ..utils.state import RadioState, savestate, loadstate
+
+__all__ = ["main", "RadioDaemon"]
+
+
+class RadioDaemon:
+    def __init__(self, args):
+        self.args = args
+        self.mode = args.mode.upper()
+        self.rx = Receiver(
+            make_receiver_config(
+                self.mode,
+                samprate=args.samprate,
+                out_rate=48000,
+                L=args.blocksize,
+                M=args.impulse_len,
+                kaiser_beta=args.kaiser_beta,
+            )
+        )
+        self.freq = parse_frequency(args.frequency) if args.frequency else 0.0
+        self.commands = 0
+        self.compactor = StatusCompactor()
+        self.status_count = 0
+
+        # outputs
+        self.pcm_raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
+        self.out_sock = None
+        self.status_sock = None
+        if args.output:
+            self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+            self.status_sock = setup_mcast(
+                args.output, output=True, ttl=args.ttl, offset=2
+            )
+            self.status_recv = setup_mcast(args.output, output=False, offset=2)
+        else:
+            self.status_recv = None
+        ssrc = int(time.time()) & 0xFFFFFFFF  # audio.c:150-153
+        self.pcm = PCMOutput(send=self._send_pcm, ssrc=ssrc)
+
+        self.ctl_sock = None
+        if args.input and not args.iq_file:
+            # command socket toward the front end (main.c:220)
+            self.ctl_sock = setup_mcast(args.input, output=True, offset=2)
+            self.fe_status_sock = setup_mcast(args.input, output=False, offset=2)
+        else:
+            self.fe_status_sock = None
+
+        if self.freq:
+            lo1 = self.rx.set_freq(self.freq)
+            if lo1 is not None:
+                self._send_lo1_command(lo1)
+
+    # ---- output paths ----
+
+    def _send_pcm(self, datagram: bytes) -> None:
+        if self.out_sock is not None:
+            try:
+                self.out_sock.send(datagram)
+            except OSError:
+                pass
+        if self.pcm_raw is not None:
+            hdr, off = RTPHeader.from_bytes(datagram)
+            self.pcm_raw.write(datagram[off:])
+
+    def _send_lo1_command(self, lo1: float) -> None:
+        """set_first_LO: TLV command to the front end (radio.c:259-266)."""
+        if self.ctl_sock is None:
+            return
+        pkt = bytearray([1])  # command byte
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, lo1)
+        st.encode_eol(pkt)
+        try:
+            self.ctl_sock.send(bytes(pkt))
+        except OSError:
+            pass
+
+    # ---- status / command plane ----
+
+    def emit_status(self, diag: dict) -> None:
+        """10 Hz receiver status (radio_status.c:33-212), delta-coded with
+        a full dump every 10th (radio_status.c:207-208)."""
+        if self.status_sock is None:
+            return
+        pkt = bytearray([0])  # status response byte
+        st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
+        st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, self.args.samprate)
+        st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, self.pcm.ssrc)
+        st.encode_int(pkt, StatusType.OUTPUT_PACKETS, self.pcm.state.packets)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, self.rx.tune_freq)
+        st.encode_double(pkt, StatusType.FIRST_LO_FREQUENCY, self.rx.sdr.frequency)
+        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.args.blocksize)
+        st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.args.impulse_len)
+        st.encode_float(pkt, StatusType.KAISER_BETA, self.args.kaiser_beta)
+        st.encode_float(pkt, StatusType.LOW_EDGE, self.rx.cfg.mode.low)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, self.rx.cfg.mode.high)
+        st.encode_string(pkt, StatusType.RADIO_MODE, self.mode)
+        demod_num = {"LINEAR": 0, "AM": 1, "FM": 2}[self.rx.cfg.mode.demod]
+        st.encode_int(pkt, StatusType.DEMOD_MODE, demod_num)
+        st.encode_int(pkt, StatusType.OUTPUT_CHANNELS,
+                      1 if self.rx.cfg.mode.demod != "LINEAR"
+                      else self.rx.cfg.mode.channels)
+        if "if_power" in diag:
+            st.encode_float(pkt, StatusType.IF_POWER, float(diag["if_power"]))
+        if "bb_power" in diag:
+            st.encode_float(pkt, StatusType.BASEBAND_POWER, float(diag["bb_power"]))
+        if "n0" in diag:
+            st.encode_float(pkt, StatusType.NOISE_DENSITY, float(diag["n0"]))
+        snr = diag.get("snr")
+        if snr is not None and np.isfinite(float(snr)):
+            st.encode_float(pkt, StatusType.DEMOD_SNR, float(snr))
+        if "gain" in diag:
+            st.encode_float(pkt, StatusType.DEMOD_GAIN, float(diag["gain"]))
+        fo = diag.get("foffset")
+        if fo is not None and np.isfinite(float(fo)):
+            st.encode_float(pkt, StatusType.FREQ_OFFSET, float(fo))
+        pd = diag.get("pdeviation")
+        if pd is not None and np.isfinite(float(pd)):
+            st.encode_float(pkt, StatusType.PEAK_DEVIATION, float(pd))
+        pl = diag.get("plfreq")
+        if pl is not None and np.isfinite(float(pl)):
+            st.encode_float(pkt, StatusType.PL_TONE, float(pl))
+        if "pll_lock" in diag:
+            st.encode_int(pkt, StatusType.PLL_LOCK, int(bool(diag["pll_lock"])))
+        st.encode_eol(pkt)
+        self.status_count += 1
+        out = self.compactor.compact(
+            bytes(pkt), force=(self.status_count % 10 == 0)
+        )
+        try:
+            self.status_sock.send(out)
+        except OSError:
+            pass
+
+    def handle_command(self, data: bytes) -> None:
+        """Command packet: leading byte 1 (radio_status.c:232-235)."""
+        if not data or data[0] != 1:
+            return
+        self.commands += 1
+        for t, v in st.decode_packet(data[1:]):
+            if t == StatusType.RADIO_FREQUENCY:
+                f = st.decode_double(v)
+                lo1 = self.rx.set_freq(f)
+                self.freq = f
+                if lo1 is not None:
+                    self._send_lo1_command(lo1)
+
+    def handle_fe_status(self, data: bytes) -> None:
+        """Front-end TLV status (recv_sdr_status / decode_sdr_status,
+        radio_status.c:217-318): LO1 moves retune LO2 to compensate."""
+        if not data or data[0] != 0:
+            return
+        for t, v in st.decode_packet(data[1:]):
+            if t == StatusType.RADIO_FREQUENCY:
+                self.rx.update_first_lo(st.decode_double(v))
+            elif t == StatusType.INPUT_SAMPRATE:
+                self.rx.sdr.samprate = int(st.decode_int(v))
+            elif t == StatusType.LNA_GAIN:
+                pass  # gains fold into gain_factor; tracked when present
+
+    # ---- main loops ----
+
+    def run_file(self) -> None:
+        rd = IQReader(self.args.iq_file)
+        n = 0
+        last_status = 0.0
+        for block in rd.blocks(self.args.blocksize):
+            audio, diag = self.rx.process(block)
+            self._emit_audio(audio)
+            n += 1
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                self.emit_status(diag)
+                last_status = now
+            if self.args.blocks and n >= self.args.blocks:
+                break
+
+    def run_network(self) -> None:
+        # Warm the compile cache before joining the stream so the first
+        # real block doesn't stall the socket reader for seconds.
+        self.rx.process(np.zeros(self.args.blocksize, np.complex64))
+        if self.args.verbose:
+            print("radio: warmed up, joining", self.args.input,
+                  file=sys.stderr, flush=True)
+        in_sock = setup_mcast(self.args.input, output=False)
+        asm = BlockAssembler(self.args.blocksize)
+        last_status = 0.0
+        diag = {}
+        socks = [in_sock]
+        if self.status_recv is not None:
+            socks.append(self.status_recv)
+        if self.fe_status_sock is not None:
+            socks.append(self.fe_status_sock)
+        n = 0
+        while True:
+            ready, _, _ = select.select(socks, [], [], 0.1)
+            for s in ready:
+                data = s.recv(9000)
+                if s is in_sock:
+                    asm.push(data)
+                elif s is self.fe_status_sock:
+                    self.handle_fe_status(data)
+                else:
+                    self.handle_command(data)
+            for block in asm.blocks():
+                audio, diag = self.rx.process(block)
+                self._emit_audio(audio)
+                n += 1
+                if self.args.verbose and n % 10 == 1:
+                    print(f"radio: block {n}, drops {asm.rtp_state.drops}, "
+                          f"pcm pkts {self.pcm.state.packets}",
+                          file=sys.stderr, flush=True)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                self.emit_status(diag)
+                last_status = now
+            if self.args.blocks and n >= self.args.blocks:
+                return
+
+    def _emit_audio(self, audio) -> None:
+        a = np.asarray(audio)
+        if a.ndim == 2:
+            self.pcm.send_stereo(a)
+        else:
+            self.pcm.send_mono(a)
+
+    def close(self):
+        if self.pcm_raw:
+            self.pcm_raw.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="radio", description="TPU-native ka9q radio receiver"
+    )
+    p.add_argument("-I", "--input", help="input I/Q multicast (name:port)")
+    p.add_argument("--iq-file", help="replay a recording instead of the network")
+    p.add_argument("-R", "--output", help="output PCM multicast (name:port)")
+    p.add_argument("--pcm-raw", help="also write raw big-endian s16 PCM to file")
+    p.add_argument("-f", "--frequency", default="", help="e.g. 147m435")
+    p.add_argument("-m", "--mode", default="FM")
+    p.add_argument("-r", "--samprate", type=int, default=192000)
+    p.add_argument("-L", "--blocksize", type=int, default=3840)
+    p.add_argument("-M", "--impulse-len", type=int, default=4353)
+    p.add_argument("-k", "--kaiser-beta", type=float, default=3.0)
+    p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--blocks", type=int, default=0, help="stop after N blocks")
+    p.add_argument("--state", help="load/save state file name")
+    p.add_argument("--cpu", action="store_true",
+                   help="run the DSP on the host CPU backend instead of TPU")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..utils.runtime import configure_jax
+
+    configure_jax(cpu=args.cpu)
+    if args.state:
+        try:
+            rs = loadstate(args.state)
+            if not args.frequency:
+                args.frequency = f"{rs.frequency}"
+            if args.mode == "FM" and rs.mode:
+                args.mode = rs.mode
+            args.input = args.input or rs.source
+            args.output = args.output or rs.output
+        except OSError:
+            pass
+    if not args.input and not args.iq_file:
+        print("need -I or --iq-file", file=sys.stderr)
+        return 1
+    d = RadioDaemon(args)
+    try:
+        if args.iq_file:
+            d.run_file()
+        else:
+            d.run_network()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if args.state:
+            savestate(
+                RadioState(
+                    source=args.input or "",
+                    output=args.output or "",
+                    ttl=args.ttl,
+                    blocksize=args.blocksize,
+                    impulse_len=args.impulse_len,
+                    frequency=d.freq,
+                    mode=d.mode,
+                    filter_low=d.rx.cfg.mode.low,
+                    filter_high=d.rx.cfg.mode.high,
+                ),
+                args.state,
+            )
+        d.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""App-level tests: the minimum end-to-end slice (SURVEY.md §7 step 3)
+plus the control plane, all on localhost multicast loopback — the
+reference's own multi-node-without-a-cluster method (SURVEY.md §4 item 5).
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.io.modulate import Modulator
+from ka9q_sdr_tpu.io.iqfile import write_metadata
+from ka9q_sdr_tpu.net import status as st
+from ka9q_sdr_tpu.net.status import StatusType
+
+
+@pytest.fixture(scope="module")
+def am_recording(tmp_path_factory):
+    """0.5 s of 400 Hz AM on a 48 kHz IF at 192 kHz, as s16le I/Q."""
+    path = str(tmp_path_factory.mktemp("iq") / "am.iq")
+    m = Modulator("am", frequency=48000.0, amplitude_db=-10.0)
+    with open(path, "wb") as f:
+        for b in range(100):
+            tt = (b * 240 + np.arange(240)) / 48000
+            audio = (0.8 * np.sin(2 * np.pi * 400 * tt)).astype(np.float32)
+            f.write(m.to_int16(m.process(audio)))
+    write_metadata(path, {"samplerate": "192000", "frequency": "0.0"})
+    return path
+
+
+def _tone(audio, rate=48000):
+    seg = audio[len(audio) // 2:]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1.0 / rate)
+    return f[np.argmax(spec[5:]) + 5]
+
+
+class TestRadioApp:
+    def test_file_mode(self, am_recording, tmp_path):
+        from ka9q_sdr_tpu.apps.radio import main
+
+        pcm = str(tmp_path / "out.pcm")
+        rc = main(
+            ["--iq-file", am_recording, "-f", "48k", "-m", "AM",
+             "--pcm-raw", pcm]
+        )
+        assert rc == 0
+        a = np.frombuffer(open(pcm, "rb").read(), ">i2").astype(np.float32) / 32767
+        assert len(a) == 24000   # 100 modulator blocks -> 25 receiver blocks
+        assert abs(_tone(a) - 400.0) < 5.0
+
+    def test_command_retune_and_fe_status(self, am_recording):
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+        args = build_parser().parse_args(
+            ["--iq-file", am_recording, "-f", "48k", "-m", "AM"]
+        )
+        d = RadioDaemon(args)
+        assert d.rx.tune_freq == 48000.0
+        # TLV command: tune to 30 kHz (radio_status.c command handling)
+        pkt = bytearray([1])
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 30000.0)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.rx.tune_freq == 30000.0
+        assert d.commands == 1
+        # front-end status: LO1 moved -> LO2 recomputed to keep RF
+        fe = bytearray([0])
+        st.encode_double(fe, StatusType.RADIO_FREQUENCY, 1000.0)  # LO1
+        st.encode_eol(fe)
+        d.handle_fe_status(bytes(fe))
+        assert d.rx.sdr.frequency == 1000.0
+
+    def test_network_slice(self, am_recording):
+        """iqplay -> radio -> PCM multicast, all loopback."""
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+        from ka9q_sdr_tpu.apps.iqplay import play_stream
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT
+
+        in_grp = "239.88.7.1:5004"
+        out_grp = "239.88.7.2:5004"
+        args = build_parser().parse_args(
+            ["-I", in_grp, "-R", out_grp, "-f", "48k", "-m", "AM",
+             "--blocks", "20"]
+        )
+        d = RadioDaemon(args)
+        pcm_sock = setup_mcast(out_grp, output=False)
+        pcm_sock.settimeout(30.0)
+
+        t = threading.Thread(target=d.run_network, daemon=True)
+        t.start()
+        time.sleep(6.0)  # let the warmup compile finish
+
+        tx = setup_mcast(in_grp, output=True, ttl=0)
+        fh = open(am_recording, "rb")
+
+        def reader():
+            data = fh.read(960)
+            if not data:
+                fh.seek(0)
+                data = fh.read(960)
+            return data
+
+        sender = threading.Thread(
+            target=play_stream,
+            args=(reader, tx, 192000, 0.0),
+            kwargs=dict(realtime=True),
+            daemon=True,
+        )
+        sender.start()
+        chunks, total = [], 0
+        while total < 10000:   # samples (the radio emits ~19200 then exits)
+            data = pcm_sock.recv(9000)
+            hdr, off = RTPHeader.from_bytes(data)
+            if hdr.type != PCM_MONO_PT:
+                continue
+            chunk = np.frombuffer(data[off:], ">i2").astype(np.float32) / 32767
+            chunks.append(chunk)
+            total += len(chunk)
+        a = np.concatenate(chunks)
+        assert abs(_tone(a) - 400.0) < 5.0
+        t.join(timeout=15)
+
+
+class TestStateFiles:
+    def test_roundtrip(self, tmp_path):
+        from ka9q_sdr_tpu.utils.state import RadioState, savestate, loadstate
+
+        p = str(tmp_path / "default")
+        savestate(
+            RadioState(frequency=147435000.0, mode="FM", source="a:1",
+                       output="b:2", filter_low=-8000, filter_high=8000),
+            p,
+        )
+        st2 = loadstate(p)
+        assert st2.frequency == 147435000.0
+        assert st2.mode == "FM"
+        assert st2.filter_low == -8000.0
+
+
+class TestParseFrequency:
+    def test_forms(self):
+        from ka9q_sdr_tpu.utils.misc import parse_frequency
+
+        assert parse_frequency("12345") == 12345e3   # heuristic kHz
+        assert parse_frequency("147m435") == 147.435e6
+        assert parse_frequency("12k345") == 12345.0
+        assert parse_frequency("1g2") == 1.2e9
+        assert parse_frequency("120000") == 120000.0  # >= 1e5 as-is
+        assert parse_frequency("48k") == 48000.0

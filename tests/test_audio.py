@@ -1,0 +1,111 @@
+"""Opus transcoding and playout mixer tests (opus.c / monitor.c parity)."""
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.audio.opus_codec import OPUS_AVAILABLE
+from ka9q_sdr_tpu.audio.playout import Mixer, SAMPRATE, START_DELAY
+from ka9q_sdr_tpu.audio.transcode import OpusTranscoder
+from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT, PCM_STEREO_PT, OPUS_PT
+
+needs_opus = pytest.mark.skipif(not OPUS_AVAILABLE, reason="libopus missing")
+
+
+def _pcm_packet(seq, ts, ssrc, audio, stereo=False, marker=False):
+    pcm = np.clip(audio * 32767, -32768, 32767).astype(">i2")
+    hdr = RTPHeader(
+        type=PCM_STEREO_PT if stereo else PCM_MONO_PT,
+        seq=seq, timestamp=ts, ssrc=ssrc, marker=marker,
+    )
+    return hdr.to_bytes() + pcm.tobytes()
+
+
+class TestOpus:
+    @needs_opus
+    def test_roundtrip_through_transcoder(self):
+        """PCM -> Opus packets -> decode -> recognisable tone."""
+        from ka9q_sdr_tpu.audio.opus_codec import OpusDecoder
+
+        packets = []
+        tc = OpusTranscoder(send=packets.append, bitrate=64000)
+        t = np.arange(SAMPRATE) / SAMPRATE   # 1 s of 440 Hz
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        for i in range(0, SAMPRATE, 480):
+            pkt = _pcm_packet(i // 480, i, 7, tone[i : i + 480],
+                              marker=(i == 0))
+            tc.feed_packet(pkt)
+        assert len(packets) >= 45   # ~50 x 20 ms frames
+        hdr, off = RTPHeader.from_bytes(packets[0])
+        assert hdr.type == OPUS_PT and hdr.marker
+        dec = OpusDecoder()
+        audio = np.concatenate(
+            [dec.decode(p[RTPHeader.from_bytes(p)[1]:]) for p in packets]
+        )
+        seg = audio[len(audio) // 2:, 0]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1 / SAMPRATE)
+        assert abs(f[np.argmax(spec[5:]) + 5] - 440) < 5
+
+    @needs_opus
+    def test_dtx_suppresses_silence(self):
+        packets = []
+        tc = OpusTranscoder(send=packets.append, dtx=True)
+        silence = np.zeros(480, np.float32)
+        for i in range(200):   # 2 s of silence
+            tc.feed_packet(_pcm_packet(i, i * 480, 9, silence))
+        # DTX: only a few comfort-noise/none packets instead of ~100
+        assert len(packets) < 20
+
+
+class TestMixer:
+    def test_playout_delay_and_mix(self):
+        mixer = Mixer()
+        tone = 0.25 * np.sin(
+            2 * np.pi * 1000 * np.arange(480) / SAMPRATE
+        ).astype(np.float32)
+        mixer.feed_packet(_pcm_packet(0, 0, 1, tone, marker=True))
+        # audio is placed START_DELAY after the read pointer
+        head = mixer.read(START_DELAY)
+        assert np.all(head == 0.0)
+        audio = mixer.read(480)
+        assert np.max(np.abs(audio)) > 0.1
+        # mono feeds both channels equally
+        assert np.allclose(audio[:, 0], audio[:, 1])
+
+    def test_two_sessions_mix_additively(self):
+        mixer = Mixer()
+        a = 0.25 * np.ones(480, np.float32)
+        mixer.feed_packet(_pcm_packet(0, 0, 1, a, marker=True))
+        mixer.feed_packet(_pcm_packet(0, 0, 2, a, marker=True))
+        mixer.read(START_DELAY)
+        audio = mixer.read(480)
+        # equal-power centre pan: each contributes 0.25*cos(pi/4)
+        expect = 2 * 0.25 * np.cos(np.pi / 4)
+        assert abs(audio[10, 0] - expect) < 0.01
+
+    def test_late_packet_bumps_playout(self):
+        mixer = Mixer()
+        tone = np.ones(480, np.float32) * 0.1
+        mixer.feed_packet(_pcm_packet(0, 0, 1, tone, marker=True))
+        sess = mixer.sessions[1]
+        p0 = sess.playout
+        # drain far past this packet, then send the "next" timestamp (late)
+        mixer.read(START_DELAY + 48000)
+        mixer.feed_packet(_pcm_packet(1, 480, 1, tone))
+        assert sess.playout == p0 + SAMPRATE // 1000
+        assert sess.lates == 1
+
+    def test_stereo_pan(self):
+        mixer = Mixer()
+        st = np.zeros((480, 2), np.float32)
+        st[:, 0] = 0.5
+        st[:, 1] = 0.5
+        mixer.feed_packet(_pcm_packet(0, 0, 3, st.reshape(-1), stereo=True,
+                                      marker=True))
+        mixer.sessions[3].pan = -1.0   # full left
+        mixer.feed_packet(_pcm_packet(1, 480, 3, st.reshape(-1), stereo=True))
+        mixer.read(START_DELAY)
+        a = mixer.read(960)
+        # second packet (full left pan): right channel ~0
+        assert np.max(np.abs(a[500:900, 0])) > 0.3
+        assert np.max(np.abs(a[520:900, 1])) < 0.01
