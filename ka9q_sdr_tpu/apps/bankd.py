@@ -1,0 +1,198 @@
+"""bankd — the wideband multichannel receiver daemon (the TPU flagship).
+
+The reference runs one `radio` process per channel; bankd runs hundreds of
+channels as ONE jitted program on one chip (models.bank): a shared
+wideband forward FFT, frequency-domain downconversion per channel, batched
+IFFT + demod.  Every channel's 48 kHz PCM goes out on the same multicast
+group with SSRC = channel index + 1, which the reference's own session
+demuxers (monitor, opus) already understand.
+
+Channels come from a channel file: one ``frequency [mode]`` per line
+(frequencies in parse_frequency syntax), or --channels N spread evenly.
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.bankd --iq-file wide.iq -r 24576000 \\
+      --channels 256 -m FM -R 239.3.1.1:5004
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..models.bank import make_bank_config, ChannelBank
+from ..net.multicast import setup_mcast
+from ..net import status as st
+from ..net.status import StatusType, StatusCompactor
+from ..io.pcm import PCMOutput
+from ..io.iqfile import IQReader
+from ..utils.misc import parse_frequency
+
+__all__ = ["main", "BankDaemon"]
+
+
+def read_channel_file(path: str) -> list[float]:
+    freqs = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            freqs.append(parse_frequency(line.split()[0]))
+    return freqs
+
+
+class BankDaemon:
+    def __init__(self, args, freqs):
+        self.args = args
+        samprate = float(args.samprate)
+        if args.L:
+            L, M = args.L, args.M
+        else:
+            # Scale the reference channel geometry (N_dec=2048 bins,
+            # L_dec=960 = 20 ms @48 kHz) up to the wideband rate: N and L
+            # grow with the decimation ratio, keeping the same 20 ms
+            # block cadence (24.576 Msps -> N = 2^20).
+            decim = round(samprate / 48000)
+            L = 960 * decim
+            M = 2048 * decim - L + 1
+        self.cfg = make_bank_config(
+            len(freqs), args.mode, samprate=samprate, L=L, M=M
+        )
+        self.bank = ChannelBank(self.cfg, freqs)
+        self.out_sock = None
+        self.status_sock = None
+        self.compactor = StatusCompactor()
+        self.status_count = 0
+        if args.output:
+            self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+            self.status_sock = setup_mcast(
+                args.output, output=True, ttl=args.ttl, offset=2
+            )
+        self.pcm = [
+            PCMOutput(send=self._sender(), ssrc=i + 1)
+            for i in range(len(freqs))
+        ]
+        self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
+        self.blocks_done = 0
+
+    def _sender(self):
+        def send(datagram: bytes) -> None:
+            if self.out_sock is not None:
+                try:
+                    self.out_sock.send(datagram)
+                except OSError:
+                    pass
+        return send
+
+    def process_block(self, iq: np.ndarray) -> None:
+        audio, diag = self.bank.process(iq)
+        a = np.asarray(audio)
+        for ch, out in enumerate(self.pcm):
+            if a.ndim == 3:
+                out.send_stereo(a[ch])
+            else:
+                out.send_mono(a[ch])
+        if self.raw is not None:
+            self.raw.write(
+                np.clip(a * 32767, -32768, 32767).astype("<i2").tobytes()
+            )
+        self.blocks_done += 1
+        self._last_diag = diag
+
+    def emit_status(self) -> None:
+        if self.status_sock is None:
+            return
+        pkt = bytearray([0])
+        st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(self.cfg.samprate))
+        st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        st.encode_int(pkt, StatusType.OUTPUT_CHANNELS, self.cfg.n_channels)
+        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.cfg.master.L)
+        st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.cfg.master.M)
+        st.encode_string(pkt, StatusType.RADIO_MODE, self.cfg.mode.name)
+        st.encode_eol(pkt)
+        self.status_count += 1
+        try:
+            self.status_sock.send(
+                self.compactor.compact(bytes(pkt),
+                                       force=self.status_count % 10 == 0)
+            )
+        except OSError:
+            pass
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bankd")
+    p.add_argument("--iq-file", help="wideband recording to process")
+    p.add_argument("-I", "--input", help="wideband I/Q multicast")
+    p.add_argument("-R", "--output", help="PCM multicast for all channels")
+    p.add_argument("--pcm-raw", help="write interleaved channel PCM to file")
+    p.add_argument("-r", "--samprate", type=float, default=24.576e6)
+    p.add_argument("-m", "--mode", default="FM")
+    p.add_argument("--channels", type=int, default=0)
+    p.add_argument("--channel-file", help="file of frequencies, one per line")
+    p.add_argument("--L", type=int, default=0)
+    p.add_argument("--M", type=int, default=0)
+    p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--blocks", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..utils.runtime import configure_jax
+
+    configure_jax(cpu=args.cpu)
+
+    if args.channel_file:
+        freqs = read_channel_file(args.channel_file)
+    elif args.channels:
+        usable = 0.9 * args.samprate
+        freqs = list(
+            np.linspace(-usable / 2, usable / 2, args.channels, endpoint=False)
+        )
+    else:
+        print("need --channels or --channel-file", file=sys.stderr)
+        return 1
+
+    d = BankDaemon(args, freqs)
+    last_status = 0.0
+    if args.iq_file:
+        rd = IQReader(args.iq_file)
+        for block in rd.blocks(d.cfg.master.L):
+            d.process_block(block)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                d.emit_status()
+                last_status = now
+            if args.blocks and d.blocks_done >= args.blocks:
+                break
+    elif args.input:
+        from ..io.assembler import BlockAssembler
+
+        sock = setup_mcast(args.input, output=False)
+        asm = BlockAssembler(d.cfg.master.L)
+        d.process_block(np.zeros(d.cfg.master.L, np.complex64))  # warm up
+        d.blocks_done = 0
+        while True:
+            asm.push(sock.recv(65536))
+            for block in asm.blocks():
+                d.process_block(block)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                d.emit_status()
+                last_status = now
+            if args.blocks and d.blocks_done >= args.blocks:
+                break
+    else:
+        print("need --iq-file or -I", file=sys.stderr)
+        return 1
+    if d.raw:
+        d.raw.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

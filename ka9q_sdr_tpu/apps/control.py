@@ -1,0 +1,173 @@
+"""control — network dashboard / remote control (control.c).
+
+A standalone process driven purely by the TLV status stream: it joins a
+receiver's status group (output data port + 2), decodes every key into a
+local mirror, and renders a textual dashboard — proof the whole receiver
+is observable through the protocol alone (control.c:212-411).  Unlike the
+reference snapshot (whose command path is stubbed, control.c:51-59), the
+--tune/--mode options actually transmit TLV commands.
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.control 239.2.1.1:5004           # watch
+  python -m ka9q_sdr_tpu.apps.control 239.2.1.1:5004 --tune 147m435
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+from ..net.multicast import setup_mcast
+from ..net import status as st
+from ..net.status import StatusType
+from ..utils.misc import parse_frequency, power2db
+from ..utils.bandplan import Bandplan
+
+__all__ = ["main", "StatusMirror"]
+
+_FLOAT_KEYS = {
+    StatusType.KAISER_BETA,
+    StatusType.LOW_EDGE,
+    StatusType.HIGH_EDGE,
+    StatusType.IF_POWER,
+    StatusType.BASEBAND_POWER,
+    StatusType.NOISE_DENSITY,
+    StatusType.DEMOD_SNR,
+    StatusType.DEMOD_GAIN,
+    StatusType.FREQ_OFFSET,
+    StatusType.PEAK_DEVIATION,
+    StatusType.PL_TONE,
+    StatusType.PLL_PHASE,
+}
+_DOUBLE_KEYS = {
+    StatusType.RADIO_FREQUENCY,
+    StatusType.FIRST_LO_FREQUENCY,
+    StatusType.SECOND_LO_FREQUENCY,
+    StatusType.SHIFT_FREQUENCY,
+    StatusType.DOPPLER_FREQUENCY,
+    StatusType.DOPPLER_FREQUENCY_RATE,
+}
+_STRING_KEYS = {StatusType.RADIO_MODE}
+
+
+class StatusMirror:
+    """Local mirror of the receiver state, filled from TLV status packets
+    (decode_status, control.c:212-411)."""
+
+    def __init__(self):
+        self.values: dict[int, object] = {}
+        self.packets = 0
+
+    def update(self, data: bytes) -> None:
+        if not data or data[0] != 0:
+            return
+        self.packets += 1
+        for t, v in st.decode_packet(data[1:]):
+            if t in _DOUBLE_KEYS:
+                self.values[t] = st.decode_double(v)
+            elif t in _FLOAT_KEYS:
+                self.values[t] = st.decode_float(v)
+            elif t in _STRING_KEYS:
+                self.values[t] = v.decode("ascii", "replace")
+            else:
+                self.values[t] = st.decode_int(v)
+
+    def get(self, key, default=None):
+        return self.values.get(key, default)
+
+    def render(self, bandplan: Bandplan | None = None) -> str:
+        """One dashboard snapshot (the display.c window content, textual)."""
+        g = self.get
+        lines = []
+        freq = g(StatusType.RADIO_FREQUENCY, float("nan"))
+        mode = g(StatusType.RADIO_MODE, "?")
+        lines.append(f"Freq {freq:,.3f} Hz  Mode {mode}")
+        if bandplan and not math.isnan(freq):
+            e = bandplan.lookup(freq)
+            if e:
+                lines.append(f"Band {e.name} [{' '.join(e.mode_names)}]")
+        lo = g(StatusType.FIRST_LO_FREQUENCY)
+        if lo is not None:
+            lines.append(f"LO1 {lo:,.3f} Hz")
+        low, high = g(StatusType.LOW_EDGE), g(StatusType.HIGH_EDGE)
+        if low is not None:
+            lines.append(f"Filter {low:+.0f}..{high:+.0f} Hz  "
+                         f"beta {g(StatusType.KAISER_BETA, 0):.1f}")
+        for label, key, db in (
+            ("IF", StatusType.IF_POWER, True),
+            ("Baseband", StatusType.BASEBAND_POWER, True),
+            ("N0", StatusType.NOISE_DENSITY, True),
+        ):
+            v = self.get(key)
+            if v is not None and v > 0:
+                lines.append(f"{label} {power2db(v):6.1f} dB")
+        snr = g(StatusType.DEMOD_SNR)
+        if snr is not None:
+            lines.append(f"SNR {power2db(max(snr, 1e-10)):.1f} dB")
+        for label, key, unit in (
+            ("Offset", StatusType.FREQ_OFFSET, "Hz"),
+            ("Deviation", StatusType.PEAK_DEVIATION, "Hz"),
+            ("PL tone", StatusType.PL_TONE, "Hz"),
+        ):
+            v = g(key)
+            if v is not None and not math.isnan(v):
+                lines.append(f"{label} {v:.1f} {unit}")
+        if g(StatusType.PLL_LOCK) is not None:
+            lines.append(f"PLL {'locked' if g(StatusType.PLL_LOCK) else 'unlocked'}")
+        lines.append(
+            f"[{g(StatusType.OUTPUT_PACKETS, 0)} pkts out, "
+            f"{g(StatusType.COMMANDS, 0)} cmds, {self.packets} status]"
+        )
+        return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="control")
+    p.add_argument("group", help="receiver PCM group (status = port+2)")
+    p.add_argument("--tune", help="send a retune command, e.g. 147m435")
+    p.add_argument("--seconds", type=float, default=0.0)
+    p.add_argument("--once", action="store_true", help="print one snapshot")
+    args = p.parse_args(argv)
+
+    if args.tune:
+        sock = setup_mcast(args.group, output=True, offset=2)
+        pkt = bytearray([1])
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
+                         parse_frequency(args.tune))
+        st.encode_eol(pkt)
+        sock.send(bytes(pkt))
+        print(f"sent tune {parse_frequency(args.tune):,.0f} Hz")
+        return 0
+
+    import importlib.resources as res
+
+    try:
+        bp = Bandplan.parse(
+            (res.files("ka9q_sdr_tpu") / "data" / "bandplan.txt").read_text()
+        )
+    except Exception:
+        bp = None
+    sock = setup_mcast(args.group, output=False, offset=2)
+    sock.settimeout(1.0)
+    mirror = StatusMirror()
+    t0 = time.monotonic()
+    try:
+        while True:
+            try:
+                mirror.update(sock.recv(9000))
+            except TimeoutError:
+                pass
+            print("\x1b[2J\x1b[H" if not args.once else "", end="")
+            print(mirror.render(bp), flush=True)
+            if args.once and mirror.packets:
+                return 0
+            if args.seconds and time.monotonic() - t0 > args.seconds:
+                return 0
+    except KeyboardInterrupt:
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

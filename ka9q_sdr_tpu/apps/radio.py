@@ -87,6 +87,13 @@ class RadioDaemon:
             if lo1 is not None:
                 self._send_lo1_command(lo1)
 
+        self.doppler = None
+        if getattr(args, "doppler", None):
+            from ..models.doppler import DopplerSteerer
+
+            self.doppler = DopplerSteerer(self.rx, args.doppler)
+            self.doppler.start()
+
     # ---- output paths ----
 
     def _send_pcm(self, datagram: bytes) -> None:
@@ -284,6 +291,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--blocks", type=int, default=0, help="stop after N blocks")
     p.add_argument("--state", help="load/save state file name")
+    p.add_argument("-d", "--doppler",
+                   help="ephemeris command for Doppler steering (doppler.c)")
     p.add_argument("--cpu", action="store_true",
                    help="run the DSP on the host CPU backend instead of TPU")
     p.add_argument("-v", "--verbose", action="store_true")

@@ -189,10 +189,18 @@ def fm_demod(
     n = baseband.shape[-1]
     sampsq = jnp.real(baseband) ** 2 + jnp.imag(baseband) ** 2
     bb_power = jnp.sum(sampsq, axis=-1) / (2.0 * n)
-    avg_amp = jnp.sum(jnp.sqrt(sampsq), axis=-1) / (np.sqrt(2.0) * n)
-    fm_variance = bb_power - avg_amp * avg_amp
+    amp = jnp.sqrt(sampsq)
+    amp_mean = jnp.mean(amp, axis=-1)
+    avg_amp = amp_mean / np.sqrt(2.0)
+    # The reference computes variance as bb_power - avg_amp^2 (fm.c:101),
+    # which catastrophically cancels in float32 on clean constant-envelope
+    # signals (variance can go negative and close the squelch).  The
+    # centered form is identical math — var/2 in the reference's per-
+    # component scaling — but numerically stable.
+    fm_variance = jnp.mean((amp - amp_mean[..., None]) ** 2, axis=-1) / 2.0
     snr = jnp.maximum(
-        0.0, avg_amp * avg_amp / (2.0 * fm_variance) - 1.0
+        0.0,
+        avg_amp * avg_amp / jnp.maximum(2.0 * fm_variance, 1e-30) - 1.0,
     )
 
     # Squelch counter (fm.c:108-114)

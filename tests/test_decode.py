@@ -1,0 +1,167 @@
+"""Digital decode chain tests: AX.25, CRC, AFSK closed loop, APRS."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.decode.ax25 import (
+    AX25Frame,
+    ax25_parse,
+    append_crc,
+    crc_good,
+    encode_callsign,
+    get_callsign,
+    decode_base91,
+    frame_to_tnc2,
+)
+from ka9q_sdr_tpu.decode.afsk import AFSKDemodulator, afsk_modulate
+from ka9q_sdr_tpu.decode.aprs import (
+    Station,
+    look_angles,
+    parse_position,
+    parse_timestamp,
+    parse_aprs,
+)
+
+
+def build_ui_frame(src="KA9Q-11", dst="APRS", digis=(), info=b"hello"):
+    """Assemble a UI frame with valid CRC (test fixture)."""
+    hdr = encode_callsign(dst) + encode_callsign(src, last=not digis)
+    for i, d in enumerate(digis):
+        hdr += encode_callsign(d, last=(i == len(digis) - 1))
+    body = hdr + bytes([0x03, 0xF0]) + info
+    return append_crc(body)
+
+
+class TestAX25:
+    def test_callsign_roundtrip(self):
+        assert get_callsign(encode_callsign("KA9Q-11")) == "KA9Q-11"
+        assert get_callsign(encode_callsign("W1AW")) == "W1AW"
+
+    def test_crc(self):
+        f = build_ui_frame()
+        assert crc_good(f)
+        assert not crc_good(f[:-1] + bytes([f[-1] ^ 1]))
+
+    def test_parse(self):
+        f = build_ui_frame(src="N0CALL-7", dst="APRS",
+                           digis=("WIDE1-1", "WIDE2-2"), info=b"!test")
+        p = ax25_parse(f)
+        assert p.source == "N0CALL-7"
+        assert p.dest == "APRS"
+        assert [d[0] for d in p.digipeaters] == ["WIDE1-1", "WIDE2-2"]
+        assert p.control == 0x03 and p.type == 0xF0
+        assert p.information == b"!test"
+
+    def test_tnc2(self):
+        f = build_ui_frame(src="N0CALL", dst="APRS", digis=("WIDE1-1",),
+                           info=b">status here")
+        s = frame_to_tnc2(ax25_parse(f))
+        assert s == "N0CALL>APRS,WIDE1-1:>status here"
+
+    def test_base91(self):
+        # '<*e7' from the APRS spec compressed-position example:
+        # 27*91^3 + 9*91^2 + 68*91 + 22
+        assert decode_base91("<*e7") == 20427156
+
+
+class TestAFSK:
+    def test_closed_loop_decode(self):
+        """afsk_modulate -> AFSKDemodulator recovers the exact frame."""
+        frame = build_ui_frame(info=b"The quick brown fox 123")
+        pcm = afsk_modulate(frame)
+        # pad with silence front and back
+        pcm = np.concatenate([np.zeros(4000, np.float32), pcm,
+                              np.zeros(8000, np.float32)])
+        demod = AFSKDemodulator()
+        got = demod.process(pcm)
+        assert frame in got
+
+    def test_multiple_frames(self):
+        f1 = build_ui_frame(src="A1AAA", info=b"frame one")
+        f2 = build_ui_frame(src="B2BBB", info=b"frame two")
+        pcm = np.concatenate(
+            [np.zeros(2000, np.float32), afsk_modulate(f1),
+             np.zeros(2000, np.float32), afsk_modulate(f2),
+             np.zeros(8000, np.float32)]
+        )
+        demod = AFSKDemodulator()
+        got = demod.process(pcm)
+        assert f1 in got and f2 in got
+
+    def test_corrupt_frame_rejected(self):
+        frame = build_ui_frame(info=b"good data")
+        bad = frame[:-1] + bytes([frame[-1] ^ 0xFF])
+        pcm = np.concatenate(
+            [afsk_modulate(bad), np.zeros(8000, np.float32)]
+        )
+        got = AFSKDemodulator().process(pcm)
+        assert bad not in got and frame not in got
+
+    def test_timing_offset_tolerated(self):
+        """Gardner clock recovery should survive a fractional-bit offset
+        (resampled input)."""
+        frame = build_ui_frame(info=b"clock recovery test")
+        pcm = afsk_modulate(frame)
+        # resample by ~0.2% to force steady clock slew
+        n = len(pcm)
+        x = np.interp(
+            np.arange(0, n - 1, 1.002), np.arange(n), pcm
+        ).astype(np.float32)
+        pcm2 = np.concatenate([np.zeros(4000, np.float32), x,
+                               np.zeros(8000, np.float32)])
+        got = AFSKDemodulator().process(pcm2)
+        assert frame in got
+
+
+class TestAPRS:
+    def test_timestamp(self):
+        rest, d, h, m, s = parse_timestamp("180205h3648.75S/04627.50WO")
+        assert (d, h, m, s) == (0, 18, 2, 5)
+        assert rest.startswith("3648.75S")
+        rest, d, h, m, s = parse_timestamp("092345z...")
+        assert (d, h, m) == (9, 23, 45)
+
+    def test_uncompressed_position(self):
+        rest, lat, lon, alt = parse_position("3648.75S/04627.50WO000/000/A=039566")
+        assert abs(lat - (-(36 + 48.75 / 60))) < 1e-6
+        assert abs(lon - (-(46 + 27.50 / 60))) < 1e-6
+        assert abs(alt - 39566 * 0.3048) < 0.1
+
+    def test_compressed_position(self):
+        # APRS spec example: /YYYYXXXX... lat=49.5 lon=-72.75
+        import math
+        lat, lon = 49.5, -72.75
+        y = int(round(380926 * (90 - lat)))
+        x = int(round(190463 * (180 + lon)))
+        def enc(v):
+            out = ""
+            for p in (91**3, 91**2, 91, 1):
+                out += chr(v // p + 33)
+                v %= p
+            return out
+        body = "/" + enc(y) + enc(x) + ">  !"
+        _, plat, plon, _ = parse_position(body)
+        assert abs(plat - lat) < 1e-4
+        assert abs(plon - lon) < 1e-4
+
+    def test_parse_aprs_dispatch(self):
+        f = build_ui_frame(info=b"!3648.75N/04627.50E-test")
+        out = parse_aprs(ax25_parse(f))
+        assert out["kind"] == "position"
+        assert abs(out["latitude"] - (36 + 48.75 / 60)) < 1e-6
+
+    def test_look_angles(self):
+        st = Station(latitude=0.0, longitude=0.0, altitude=0.0)
+        # target due east on the equator, ~111 km away
+        az, el, rng = look_angles(st, 0.0, 1.0, 0.0)
+        assert abs(az - 90.0) < 1.0
+        assert el < 0  # over the horizon curve
+        assert 100e3 < rng < 120e3
+
+    def test_passcode(self):
+        from ka9q_sdr_tpu.apps.aprsfeed import aprs_passcode
+        # well-known APRS-IS hash examples
+        assert aprs_passcode("KA9Q") == aprs_passcode("ka9q-15")
+        assert 0 <= aprs_passcode("N0CALL") <= 0x7FFF
