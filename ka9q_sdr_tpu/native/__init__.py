@@ -1,0 +1,177 @@
+"""Native C++ runtime: high-rate RTP I/Q engine (rtp_engine.cc).
+
+Compiled on demand with g++ (no pybind11 in this environment; plain C ABI
+via ctypes).  `RTPReceiver` produces dense packed-float32 blocks ready for
+the device's real-dtype jit boundary; `RTPSender` paces int16 I/Q at wire
+rate.  Falls back gracefully: NATIVE_AVAILABLE is False if no compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["NATIVE_AVAILABLE", "RTPReceiver", "RTPSender", "build"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "rtp_engine.cc")
+_SO = os.path.join(_DIR, "librtp_engine.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def build(force: bool = False) -> bool:
+    """Compile the engine if needed.  Returns success."""
+    if not force and os.path.exists(_SO) and (
+        os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
+        return True
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _SO, _SRC, "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not build():
+            raise OSError("cannot build librtp_engine.so")
+        lib = ctypes.CDLL(_SO)
+        lib.rtp_rx_create.restype = ctypes.c_void_p
+        lib.rtp_rx_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.rtp_rx_get_block.restype = ctypes.c_int
+        lib.rtp_rx_get_block.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.rtp_rx_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.rtp_rx_destroy.argtypes = [ctypes.c_void_p]
+        lib.rtp_tx_create.restype = ctypes.c_void_p
+        lib.rtp_tx_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_uint,
+        ]
+        lib.rtp_tx_send.restype = ctypes.c_int
+        lib.rtp_tx_send.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.rtp_tx_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+try:
+    NATIVE_AVAILABLE = build()
+except Exception:
+    NATIVE_AVAILABLE = False
+
+
+class RTPReceiver:
+    """Native multicast I/Q receive engine -> dense packed float blocks.
+
+    get_block() returns an (L, 2) float32 array (or None on timeout) —
+    exactly the device's jit-boundary input format."""
+
+    def __init__(
+        self,
+        group: str,
+        port: int = 5004,
+        block_len: int = 3840,
+        skip_legacy: bool = True,
+        ring_blocks: int = 64,
+    ):
+        self._lib = _load()
+        self.block_len = block_len
+        self._h = self._lib.rtp_rx_create(
+            group.encode(), port, block_len, int(skip_legacy), ring_blocks
+        )
+        if not self._h:
+            raise OSError(f"rtp_rx_create failed for {group}:{port}")
+
+    def get_block(self, timeout_ms: int = 1000):
+        out = np.empty((self.block_len, 2), np.float32)
+        r = self._lib.rtp_rx_get_block(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            timeout_ms,
+        )
+        return out if r else None
+
+    def stats(self) -> dict:
+        buf = (ctypes.c_longlong * 6)()
+        self._lib.rtp_rx_stats(self._h, buf)
+        return dict(
+            zip(
+                ("packets", "drops", "dupes", "gap_samples", "overruns",
+                 "blocks"),
+                list(buf),
+            )
+        )
+
+    def close(self):
+        if self._h:
+            self._lib.rtp_rx_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class RTPSender:
+    """Native paced I/Q sender (iqplay's loop at wire rate)."""
+
+    def __init__(
+        self,
+        group: str,
+        port: int = 5004,
+        samprate: int = 192000,
+        frequency: float = 0.0,
+        ttl: int = 1,
+        ssrc: int = 0,
+    ):
+        self._lib = _load()
+        self._h = self._lib.rtp_tx_create(
+            group.encode(), port, samprate, frequency, ttl, ssrc or 1
+        )
+        if not self._h:
+            raise OSError(f"rtp_tx_create failed for {group}:{port}")
+
+    def send(self, iq_int16: np.ndarray, pkt_samples: int = 240,
+             realtime: bool = True) -> int:
+        """iq_int16: interleaved (2n,) int16.  Returns packets sent."""
+        arr = np.ascontiguousarray(iq_int16, np.int16)
+        return self._lib.rtp_tx_send(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            len(arr) // 2, pkt_samples, int(realtime),
+        )
+
+    def close(self):
+        if self._h:
+            self._lib.rtp_tx_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
