@@ -34,15 +34,24 @@ from ..utils.misc import parse_frequency
 __all__ = ["main", "BankDaemon"]
 
 
-def read_channel_file(path: str) -> list[float]:
-    freqs = []
+def read_channel_file(path: str, default_mode: str = "FM"):
+    """Channel file: one ``frequency [mode]`` per line.  Returns
+    [(mode, [freqs...])] groups preserving first-seen mode order."""
+    groups: dict[str, list[float]] = {}
+    order: list[str] = []
     with open(path) as f:
         for line in f:
             line = line.split("#", 1)[0].strip()
             if not line:
                 continue
-            freqs.append(parse_frequency(line.split()[0]))
-    return freqs
+            parts = line.split()
+            freq = parse_frequency(parts[0])
+            mode = parts[1].upper() if len(parts) > 1 else default_mode.upper()
+            if mode not in groups:
+                groups[mode] = []
+                order.append(mode)
+            groups[mode].append(freq)
+    return [(m, groups[m]) for m in order]
 
 
 class BankDaemon:
@@ -129,6 +138,55 @@ class BankDaemon:
             pass
 
 
+def run_multibank(args, groups) -> int:
+    """Mixed-mode path: one shared wideband FFT, a demod group per mode
+    (models.bank.MultiBank)."""
+    from ..models.bank import MultiBank
+
+    samprate = float(args.samprate)
+    decim = round(samprate / 48000)
+    L = args.L or 960 * decim
+    M = args.M or (2048 * decim - L + 1)
+    mb = MultiBank(groups, samprate=samprate, L=L, M=M)
+    out_sock = None
+    if args.output:
+        out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+    # SSRC numbering: sequential over all channels in group order
+    pcms = []
+    ssrc = 1
+    for mode, freqs in groups:
+        row = []
+        for _ in freqs:
+            row.append(PCMOutput(
+                send=(out_sock.send if out_sock else (lambda d: None)),
+                ssrc=ssrc))
+            ssrc += 1
+        pcms.append(row)
+    raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
+    n = 0
+    if not args.iq_file:
+        print("multibank currently supports --iq-file input", file=sys.stderr)
+        return 1
+    for block in IQReader(args.iq_file).blocks(L):
+        outs = mb.process(block)
+        for (audio, diag), row in zip(outs, pcms):
+            a = np.asarray(audio)
+            for ch, out in enumerate(row):
+                if a.ndim == 3:
+                    out.send_stereo(a[ch])
+                else:
+                    out.send_mono(a[ch])
+            if raw is not None:
+                raw.write(np.clip(a * 32767, -32768, 32767)
+                          .astype("<i2").tobytes())
+        n += 1
+        if args.blocks and n >= args.blocks:
+            break
+    if raw:
+        raw.close()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bankd")
     p.add_argument("--iq-file", help="wideband recording to process")
@@ -153,7 +211,11 @@ def main(argv=None) -> int:
     configure_jax(cpu=args.cpu)
 
     if args.channel_file:
-        freqs = read_channel_file(args.channel_file)
+        groups = read_channel_file(args.channel_file, args.mode)
+        if len(groups) > 1:
+            return run_multibank(args, groups)
+        args.mode = groups[0][0]
+        freqs = groups[0][1]
     elif args.channels:
         usable = 0.9 * args.samprate
         freqs = list(

@@ -63,14 +63,20 @@ class RadioDaemon:
         self.pcm_raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.out_sock = None
         self.status_sock = None
+        self.rtcp_sock = None
         if args.output:
             self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
             self.status_sock = setup_mcast(
                 args.output, output=True, ttl=args.ttl, offset=2
             )
             self.status_recv = setup_mcast(args.output, output=False, offset=2)
+            # RTCP on data port + 1 (main.c:442-513, audio.c:160)
+            self.rtcp_sock = setup_mcast(
+                args.output, output=True, ttl=args.ttl, offset=1
+            )
         else:
             self.status_recv = None
+        self._last_rtcp = 0.0
         ssrc = int(time.time()) & 0xFFFFFFFF  # audio.c:150-153
         self.pcm = PCMOutput(send=self._send_pcm, ssrc=ssrc)
 
@@ -115,6 +121,37 @@ class RadioDaemon:
         st.encode_eol(pkt)
         try:
             self.ctl_sock.send(bytes(pkt))
+        except OSError:
+            pass
+
+    def emit_rtcp(self) -> None:
+        """SR + SDES once per second (rtcp_send, main.c:442-513)."""
+        if self.rtcp_sock is None:
+            return
+        now = time.monotonic()
+        if now - self._last_rtcp < 1.0:
+            return
+        self._last_rtcp = now
+        from ..net.rtcp import (
+            RTCPSenderReport, SDESItem, SDESType, gen_sr, gen_sdes, NTP_EPOCH,
+        )
+        import socket as _socket
+
+        wall = time.time()
+        ntp = (int(wall) + NTP_EPOCH) << 32 | int((wall % 1.0) * (1 << 32))
+        sr = RTCPSenderReport(
+            ssrc=self.pcm.ssrc,
+            ntp_timestamp=ntp,
+            rtp_timestamp=self.pcm.state.timestamp,
+            packet_count=self.pcm.state.packets,
+            byte_count=self.pcm.state.bytes,
+        )
+        cname = f"radio@{_socket.gethostname()}".encode()
+        pkt = gen_sr(sr) + gen_sdes(
+            self.pcm.ssrc, [SDESItem(SDESType.CNAME, cname)]
+        )
+        try:
+            self.rtcp_sock.send(pkt)
         except OSError:
             pass
 
@@ -216,6 +253,7 @@ class RadioDaemon:
             now = time.monotonic()
             if now - last_status >= 0.1:
                 self.emit_status(diag)
+                self.emit_rtcp()
                 last_status = now
             if self.args.blocks and n >= self.args.blocks:
                 break
@@ -258,6 +296,7 @@ class RadioDaemon:
             now = time.monotonic()
             if now - last_status >= 0.1:
                 self.emit_status(diag)
+                self.emit_rtcp()
                 last_status = now
             if self.args.blocks and n >= self.args.blocks:
                 return

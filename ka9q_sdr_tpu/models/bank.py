@@ -56,7 +56,18 @@ from .demod_am import am_init, am_demod, AMConfig
 from .demod_fm import fm_init, fm_demod, FMConfig
 from .demod_linear import linear_init, linear_demod, LinearConfig
 
-__all__ = ["BankConfig", "BankState", "ChannelBank", "make_bank"]
+__all__ = [
+    "BankConfig",
+    "BankState",
+    "ChannelBank",
+    "MultiBank",
+    "make_bank",
+    "make_bank_config",
+    "bank_init",
+    "bank_step",
+    "bank_step_packed",
+    "bank_channelize",
+]
 
 
 class BankConfig(NamedTuple):
@@ -328,6 +339,85 @@ class ChannelBank:
             dr=jnp.asarray(st.dr).at[channel].set(int(km * cfg.master.L % cfg.N)),
             nco=new_nco,
         )
+
+
+class MultiBank:
+    """Mixed-mode channel bank: several demod groups sharing ONE wideband
+    forward FFT — the full master/slave idea (filter.c:22-35) at scale.
+    The reference's single process runs one mode per receiver; here each
+    group (mode, [freqs]) has its own batched demod but the 2^20-point
+    input FFT happens once per block for everyone.
+
+    groups: list of (mode_name, [freq_hz, ...]).
+    """
+
+    def __init__(
+        self,
+        groups: Sequence[tuple[str, Sequence[float]]],
+        samprate: float = 24.576e6,
+        L: int = 491520,
+        M: int = 557057,
+        **kw,
+    ):
+        from ..ops.packing import tree_c2r_np, tree_c2r, tree_r2c, r2c
+
+        self.cfgs = []
+        templates = []
+        for mode, freqs in groups:
+            cfg = make_bank_config(
+                len(freqs), mode, samprate=samprate, L=L, M=M, **kw
+            )
+            self.cfgs.append(cfg)
+        master = self.cfgs[0].master
+        for c in self.cfgs[1:]:
+            assert c.master == master
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            for cfg, (mode, freqs) in zip(self.cfgs, groups):
+                templates.append(bank_init(cfg, freqs))
+            self._templates = templates
+            self.states = [
+                tree_c2r_np(jax.tree_util.tree_map(np.asarray, t))
+                for t in templates
+            ]
+
+        cfgs = self.cfgs
+
+        def step(states_r, x_r):
+            x = r2c(x_r)
+            outs = []
+            new_states = []
+            # ONE forward FFT, shared by every group (the master's overlap
+            # is identical across groups; group 0's copy is authoritative)
+            st0 = tree_r2c(states_r[0], templates[0])
+            overlap, fdomain = master_execute(master, st0.overlap, x)
+            for cfg, s_r, tmpl in zip(cfgs, states_r, templates):
+                s = tree_r2c(s_r, tmpl)
+                new_r, new_nco, bb = bank_channelize(cfg, s, fdomain)
+                if cfg.mode.demod == "FM":
+                    ds, audio, diag = fm_demod(cfg.demod_cfg, s.demod, bb)
+                elif cfg.mode.demod == "AM":
+                    ds, audio, diag = am_demod(cfg.demod_cfg, s.demod, bb)
+                else:
+                    ds, audio, diag = linear_demod(cfg.demod_cfg, s.demod, bb)
+                ns = s._replace(
+                    overlap=overlap, r=new_r, nco=new_nco, demod=ds
+                )
+                new_states.append(tree_c2r(ns))
+                outs.append((audio, diag))
+            return new_states, outs
+
+        self._step = jax.jit(step)
+
+    def process(self, iq_block) -> list:
+        """Returns [(audio, diag), ...] per group."""
+        x = np.asarray(iq_block)
+        if x.ndim == 2:
+            x_r = x.astype(np.float32)
+        else:
+            x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+        self.states, outs = self._step(self.states, x_r)
+        return outs
 
 
 def make_bank(

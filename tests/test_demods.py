@@ -264,3 +264,37 @@ class TestBank:
             out.append(np.asarray(audio))
         a = np.concatenate(out, axis=-1)
         assert abs(tone_freq(a[0]) - 700.0) < 5.0
+
+
+class TestMultiBank:
+    def test_mixed_modes_share_fft(self):
+        """FM + AM + USB groups demodulate concurrently off ONE wideband
+        FFT (the master/slave fan-out at scale, filter.c:22-35)."""
+        from ka9q_sdr_tpu.models.bank import MultiBank
+
+        fs, Lw = 1.536e6, 30720
+        groups = [("FM", [-300e3, -100e3]), ("AM", [150e3]), ("USB", [333e3])]
+        mb = MultiBank(groups, samprate=fs, L=Lw, M=34817)
+        phase = 0.0
+        buf = {0: [], 1: [], 2: []}
+        for b in range(40):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            inst = 3000 * np.cos(2 * np.pi * 1000 * tt)
+            ph = np.cumsum(2 * np.pi * inst / fs) + phase
+            phase = ph[-1]
+            sig = 0.3 * np.exp(1j * (2 * np.pi * (-100e3) * tt + ph))
+            sig = sig + 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt)) * np.exp(
+                2j * np.pi * 150e3 * tt
+            )
+            sig = sig + 0.2 * np.exp(2j * np.pi * (333e3 + 700) * tt)
+            outs = mb.process(sig.astype(np.complex64))
+            if b >= 15:
+                buf[0].append(np.asarray(outs[0][0])[1])
+                buf[1].append(np.asarray(outs[1][0])[0])
+                buf[2].append(np.asarray(outs[2][0])[0])
+        assert abs(tone_freq(np.concatenate(buf[0])) - 1000) < 5
+        assert abs(tone_freq(np.concatenate(buf[1])) - 400) < 5
+        assert abs(tone_freq(np.concatenate(buf[2])) - 700) < 5
+        # quiet FM channel squelches
+        assert bool(np.asarray(outs[0][1]["squelch_open"])[1])
+        assert not bool(np.asarray(outs[0][1]["squelch_open"])[0])
