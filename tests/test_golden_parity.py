@@ -1,0 +1,100 @@
+"""PCM parity vs the golden C-semantics executor — BASELINE.json's
+acceptance metric: PCM RMS error vs the reference in dBFS, target
+< -80 dBFS.
+
+The golden executor (golden_ref.py) runs the reference's literal
+per-sample float32 loops; the production pipeline runs the vectorised
+TPU program.  Divergence sources are only float arithmetic ordering and
+FFT implementations, so errors should sit near the float32 noise floor.
+"""
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.models.receiver import Receiver, make_receiver_config
+from golden_ref import GoldenReceiver
+
+FS = 192000
+L = 3840
+
+
+def rms_dbfs(err: np.ndarray) -> float:
+    r = float(np.sqrt(np.mean(err.astype(np.float64) ** 2)))
+    return 20 * np.log10(max(r, 1e-12))
+
+
+def run_pair(mode, freq, gen, nblocks=20, settle=4):
+    rx = Receiver(make_receiver_config(mode, samprate=FS, enable_pl=False))
+    rx.set_freq(freq)
+    gold = GoldenReceiver(mode, samprate=FS, freq=freq)
+    ours, theirs = [], []
+    for b in range(nblocks):
+        tt = (b * L + np.arange(L)) / FS
+        iq = gen(tt).astype(np.complex64)
+        audio, _ = rx.process(iq)
+        ours.append(np.asarray(audio))
+        theirs.append(gold.process(iq))
+    a = np.concatenate(ours)[settle * 960:]
+    g = np.concatenate(theirs)[settle * 960:]
+    return a, g
+
+
+class TestGoldenParity:
+    def test_am_pcm_parity(self):
+        a, g = run_pair(
+            "AM", 10000.0,
+            lambda tt: 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+            * np.exp(2j * np.pi * 10000 * tt),
+        )
+        err = rms_dbfs(a - g)
+        sig = rms_dbfs(g)
+        print(f"AM: signal {sig:.1f} dBFS, error {err:.1f} dBFS")
+        assert err < -80.0
+
+    def test_usb_pcm_parity(self):
+        a, g = run_pair(
+            "USB", 30000.0,
+            lambda tt: 0.2 * np.exp(2j * np.pi * 31000 * tt)
+            + 0.05 * np.exp(2j * np.pi * 32500 * tt),
+        )
+        err = rms_dbfs(a - g)
+        print(f"USB: error {err:.1f} dBFS")
+        assert err < -80.0
+
+    def test_fm_pcm_parity(self):
+        phase = {"p": 0.0}
+
+        def gen(tt):
+            inst = 4000 * np.cos(2 * np.pi * 1000 * tt)
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            return 0.5 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+
+        a, g = run_pair("FM", 20000.0, gen)
+        err = rms_dbfs(a - g)
+        print(f"FM: error {err:.1f} dBFS")
+        assert err < -80.0
+
+    def test_fm_noisy_parity(self):
+        """With noise the blanking/forward-fill paths activate; parity must
+        hold through the data-dependent branches."""
+        rng = np.random.default_rng(3)
+        phase = {"p": 0.0}
+
+        def gen(tt):
+            inst = 3000 * np.cos(2 * np.pi * 800 * tt)
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            sig = 0.3 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+            sig = sig + 0.02 * (
+                rng.standard_normal(len(tt))
+                + 1j * rng.standard_normal(len(tt))
+            )
+            return sig
+
+        a, g = run_pair("FM", 20000.0, gen)
+        err = rms_dbfs(a - g)
+        print(f"FM noisy: error {err:.1f} dBFS")
+        # blanking decisions at the 0.55*avg threshold can flip on float
+        # noise, so individual samples may differ; demand deep parity still
+        assert err < -60.0
