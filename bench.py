@@ -44,17 +44,18 @@ def main():
     for ch in (3, n_channels // 2, n_channels - 5):
         x += 0.2 * np.exp(2j * np.pi * freqs[ch] * tt)
     x = x.astype(np.complex64)
-    x_r = np.stack([x.real, x.imag], -1).astype(np.float32)
+    # production ingest format: raw int16 pairs, converted on-device
+    x_i = np.empty((L, 2), np.int16)
+    x_i[:, 0] = np.clip(x.real * 32767, -32768, 32767)
+    x_i[:, 1] = np.clip(x.imag * 32767, -32768, 32767)
 
-    state = bank.state
-    step = bank._step
     for _ in range(warmup):
-        state, audio, diag = step(state, x_r)
+        audio, diag = bank.process_i16(x_i)
     jax.block_until_ready(audio)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, audio, diag = step(state, x_r)
+        audio, diag = bank.process_i16(x_i)
     jax.block_until_ready(audio)
     dt = time.perf_counter() - t0
 

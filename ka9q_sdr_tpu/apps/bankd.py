@@ -98,11 +98,30 @@ class BankDaemon:
         return send
 
     def process_block(self, iq: np.ndarray) -> None:
-        """iq: (L,) complex or (L, 2) packed float."""
-        if iq.ndim == 2:
+        """iq: (L,) complex, (L, 2) float packed, or (L, 2) int16.
+
+        Double-buffered: block n+1 is dispatched to the device BEFORE
+        block n's audio is fetched, so the host's PCM packetisation
+        overlaps the device compute."""
+        if iq.ndim == 2 and iq.dtype == np.int16:
+            audio, diag = self.bank.process_i16(iq)
+        elif iq.ndim == 2:
             audio, diag = self.bank.process_packed(iq)
         else:
             audio, diag = self.bank.process(iq)
+        pending = getattr(self, "_pending", None)
+        self._pending = (audio, diag)
+        if pending is not None:
+            self._emit(*pending)
+        self.blocks_done += 1
+
+    def flush(self) -> None:
+        pending = getattr(self, "_pending", None)
+        if pending is not None:
+            self._emit(*pending)
+            self._pending = None
+
+    def _emit(self, audio, diag) -> None:
         a = np.asarray(audio)
         for ch, out in enumerate(self.pcm):
             if a.ndim == 3:
@@ -113,7 +132,6 @@ class BankDaemon:
             self.raw.write(
                 np.clip(a * 32767, -32768, 32767).astype("<i2").tobytes()
             )
-        self.blocks_done += 1
         self._last_diag = diag
 
     def emit_status(self) -> None:
@@ -237,6 +255,7 @@ def main(argv=None) -> int:
                 last_status = now
             if args.blocks and d.blocks_done >= args.blocks:
                 break
+        d.flush()
     elif args.input:
         d.process_block(np.zeros(d.cfg.master.L, np.complex64))  # warm up
         d.blocks_done = 0
@@ -250,7 +269,7 @@ def main(argv=None) -> int:
             rx = RTPReceiver(host, int(port or 5004),
                              block_len=d.cfg.master.L)
             while True:
-                block = rx.get_block(1000)
+                block = rx.get_block_i16(1000)
                 if block is not None:
                     d.process_block(block)
                 now = time.monotonic()
@@ -259,6 +278,7 @@ def main(argv=None) -> int:
                     last_status = now
                 if args.blocks and d.blocks_done >= args.blocks:
                     break
+            d.flush()
             rx.close()
         else:
             from ..io.assembler import BlockAssembler
@@ -275,6 +295,7 @@ def main(argv=None) -> int:
                     last_status = now
                 if args.blocks and d.blocks_done >= args.blocks:
                     break
+            d.flush()
     else:
         print("need --iq-file or -I", file=sys.stderr)
         return 1

@@ -66,6 +66,36 @@ def play_stream(
                 time.sleep(delay)
 
 
+def native_main(args) -> int:
+    """Wire-rate replay through the C++ sender (native.RTPSender)."""
+    import numpy as np
+
+    from ..native import RTPSender
+
+    host, _, port = args.output.partition(":")
+    for path in args.files:
+        attrs = read_metadata(path) if path != "-" else {}
+        samprate = args.samprate or int(attrs.get("samplerate", 192000))
+        freq = args.frequency or float(attrs.get("frequency", 0.0))
+        tx = RTPSender(host, int(port or 5004), samprate=int(samprate),
+                       frequency=freq, ttl=args.ttl)
+        fh = sys.stdin.buffer if path == "-" else open(path, "rb")
+        sent = 0
+        while True:
+            raw = fh.read(args.pkt_samples * 4 * 256)
+            if not raw:
+                if args.loop and path != "-":
+                    fh.seek(0)
+                    continue
+                break
+            iq = np.frombuffer(raw, "<i2")
+            sent += tx.send(iq, pkt_samples=args.pkt_samples,
+                            realtime=not args.fast)
+        tx.close()
+        print(f"{path}: {sent} packets (native)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="iqplay")
     p.add_argument("-R", "--output", required=True, help="dest multicast name:port")
@@ -74,9 +104,14 @@ def main(argv=None) -> int:
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--fast", action="store_true", help="no real-time pacing")
     p.add_argument("--loop", action="store_true")
+    p.add_argument("--native", action="store_true",
+                   help="use the C++ sender (required beyond ~2 Msps)")
+    p.add_argument("--pkt-samples", type=int, default=BLOCKSIZE)
     p.add_argument("files", nargs="+", help="recordings, or - for stdin")
     args = p.parse_args(argv)
 
+    if args.native:
+        return native_main(args)
     sock = setup_mcast(args.output, output=True, ttl=args.ttl)
     for path in args.files:
         if path == "-":

@@ -265,6 +265,19 @@ class RadioDaemon:
         if self.args.verbose:
             print("radio: warmed up, joining", self.args.input,
                   file=sys.stderr, flush=True)
+        use_native = not getattr(self.args, "no_native", False)
+        if use_native:
+            try:
+                from ..native import RTPReceiver
+
+                host, _, port = self.args.input.partition(":")
+                rx_native = RTPReceiver(
+                    host, int(port or 5004), block_len=self.args.blocksize
+                )
+            except OSError:
+                use_native = False
+        if use_native:
+            return self._run_native(rx_native)
         in_sock = setup_mcast(self.args.input, output=False)
         asm = BlockAssembler(self.args.blocksize)
         last_status = 0.0
@@ -301,6 +314,37 @@ class RadioDaemon:
             if self.args.blocks and n >= self.args.blocks:
                 return
 
+    def _run_native(self, rx_native) -> None:
+        """Network loop on the C++ engine: dense float blocks from the
+        native ring; control sockets polled between blocks."""
+        socks = [s for s in (self.status_recv, self.fe_status_sock) if s]
+        diag = {}
+        last_status = 0.0
+        n = 0
+        while True:
+            block = rx_native.get_block(200)
+            if block is not None:
+                iq = (block[:, 0] + 1j * block[:, 1]).astype(np.complex64)
+                audio, diag = self.rx.process(iq)
+                self._emit_audio(audio)
+                n += 1
+            if socks:
+                ready, _, _ = select.select(socks, [], [], 0)
+                for s in ready:
+                    data = s.recv(9000)
+                    if s is self.fe_status_sock:
+                        self.handle_fe_status(data)
+                    else:
+                        self.handle_command(data)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                self.emit_status(diag)
+                self.emit_rtcp()
+                last_status = now
+            if self.args.blocks and n >= self.args.blocks:
+                rx_native.close()
+                return
+
     def _emit_audio(self, audio) -> None:
         a = np.asarray(audio)
         if a.ndim == 2:
@@ -335,6 +379,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="run the DSP on the host CPU backend instead of TPU")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--no-native", action="store_true",
+                   help="use the Python transport instead of the C++ engine")
     return p
 
 

