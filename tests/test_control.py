@@ -119,3 +119,31 @@ class TestControlMirror:
         m = StatusMirror()
         m.update(bytes([1, StatusType.EOL]))   # command, not status
         assert m.packets == 0
+
+
+class TestDisplayTuning:
+    def test_digit_cursor(self):
+        from ka9q_sdr_tpu.apps.display import TuningState
+
+        t = TuningState(step_log10=3)
+        assert t.step == 1000.0
+        t.cursor_left()
+        assert t.step == 10000.0
+        for _ in range(20):
+            t.cursor_right()
+        assert t.step == 1.0   # clamped
+        assert t.adjust(146.52e6, +1) == 146.52e6 + 1.0
+
+    def test_send_tune_wire_format(self):
+        from ka9q_sdr_tpu.apps.display import send_tune
+
+        sent = []
+
+        class S:
+            def send(self, d):
+                sent.append(d)
+
+        send_tune(S(), 147435000.0)
+        assert sent[0][0] == 1  # command byte
+        items = dict(st.decode_packet(sent[0][1:]))
+        assert st.decode_double(items[StatusType.RADIO_FREQUENCY]) == 147435000.0
