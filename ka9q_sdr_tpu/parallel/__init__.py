@@ -14,3 +14,4 @@ from .mesh import (
     shard_bank_state,
     make_sharded_bank_step,
 )
+from .dfft import make_dfft, dfft, undo_comb
