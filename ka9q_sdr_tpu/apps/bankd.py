@@ -104,7 +104,7 @@ class BankDaemon:
         block n's audio is fetched, so the host's PCM packetisation
         overlaps the device compute."""
         if iq.ndim == 2 and iq.dtype == np.int16:
-            audio, diag = self.bank.process_i16(iq)
+            audio, diag = self.bank.process_i16_pcm(iq)
         elif iq.ndim == 2:
             audio, diag = self.bank.process_packed(iq)
         else:
@@ -123,16 +123,73 @@ class BankDaemon:
 
     def _emit(self, audio, diag) -> None:
         a = np.asarray(audio)
-        for ch, out in enumerate(self.pcm):
-            if a.ndim == 3:
-                out.send_stereo(a[ch])
-            else:
-                out.send_mono(a[ch])
-        if self.raw is not None:
-            self.raw.write(
-                np.clip(a * 32767, -32768, 32767).astype("<i2").tobytes()
-            )
+        if a.dtype == np.int16:
+            # device-side scaleclip already applied (process_i16_pcm)
+            for ch, out in enumerate(self.pcm):
+                out.send_mono_i16(a[ch])
+            if self.raw is not None:
+                self.raw.write(a.astype("<i2").tobytes())
+        else:
+            for ch, out in enumerate(self.pcm):
+                if a.ndim == 3:
+                    out.send_stereo(a[ch])
+                else:
+                    out.send_mono(a[ch])
+            if self.raw is not None:
+                self.raw.write(
+                    np.clip(a * 32767, -32768, 32767).astype("<i2").tobytes()
+                )
         self._last_diag = diag
+        self.emit_channel_status()
+
+    def emit_active(self, pcm, idx, diag, L_dec: int) -> None:
+        """Emit the compacted active set; every other channel's RTP clock
+        still advances (silence suppression, audio.c:102-113)."""
+        pcm = np.asarray(pcm)
+        idx = np.asarray(idx)
+        active = set()
+        for row, ch in enumerate(idx):
+            if ch >= 0:
+                active.add(int(ch))
+                self.pcm[int(ch)].send_mono_i16(pcm[row])
+        for ch, out in enumerate(self.pcm):
+            if ch not in active:
+                out.advance(L_dec)
+        if self.raw is not None:
+            self.raw.write(pcm.astype("<i2").tobytes())
+        self._last_diag = diag
+        self.emit_channel_status()
+
+    def emit_channel_status(self) -> None:
+        """Per-channel observability (radio_status.c per-receiver state):
+        round-robin a few channels per block, keyed by OUTPUT_SSRC so a
+        `control` instance can watch any one channel."""
+        if self.status_sock is None or not hasattr(self, "_last_diag"):
+            return
+        diag = self._last_diag
+        nch = self.cfg.n_channels
+        start = getattr(self, "_ch_rr", 0)
+        for i in range(min(4, nch)):
+            ch = (start + i) % nch
+            pkt = bytearray([0])
+            st.encode_int(pkt, StatusType.OUTPUT_SSRC, ch + 1)
+            st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
+                             float(self.bank.freqs[ch]))
+            snr = diag.get("snr")
+            if snr is not None:
+                v = float(np.asarray(snr)[ch])
+                if np.isfinite(v):
+                    st.encode_float(pkt, StatusType.DEMOD_SNR, v)
+            bb = diag.get("bb_power")
+            if bb is not None:
+                st.encode_float(pkt, StatusType.BASEBAND_POWER,
+                                float(np.asarray(bb)[ch]))
+            st.encode_eol(pkt)
+            try:
+                self.status_sock.send(bytes(pkt))
+            except OSError:
+                pass
+        self._ch_rr = (start + min(4, nch)) % nch
 
     def emit_status(self) -> None:
         if self.status_sock is None:
@@ -222,6 +279,11 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-native", action="store_true",
                    help="use the Python transport instead of the C++ engine")
+    p.add_argument("--max-active", type=int, default=0, metavar="N",
+                   help="serve only the N loudest non-silent channels "
+                        "(device-side squelch compaction; 0 = all)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a JAX profiler trace for the first second")
     args = p.parse_args(argv)
 
     from ..utils.runtime import configure_jax
@@ -244,6 +306,13 @@ def main(argv=None) -> int:
         return 1
 
     d = BankDaemon(args, freqs)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
     last_status = 0.0
     if args.iq_file:
         rd = IQReader(args.iq_file)
@@ -262,22 +331,43 @@ def main(argv=None) -> int:
         from ..native import NATIVE_AVAILABLE
 
         if NATIVE_AVAILABLE and not args.no_native:
-            # native engine: recvmmsg + resequencing + int16->float in C++
+            # native engine: recvmmsg + resequencing, raw int16 into the
+            # device.  With --max-active, squelched channels never leave
+            # the chip and fetches pipeline (copy_to_host_async) to hide
+            # the transfer latency.
             from ..native import RTPReceiver
+            from collections import deque
 
             host, _, port = args.input.partition(":")
             rx = RTPReceiver(host, int(port or 5004),
                              block_len=d.cfg.master.L)
+            pending = deque()
+            L_dec = d.cfg.L_dec
             while True:
                 block = rx.get_block_i16(1000)
                 if block is not None:
-                    d.process_block(block)
+                    if args.max_active:
+                        pcm, idx, diag = d.bank.process_active(
+                            block, args.max_active)
+                        for arr in (pcm, idx):
+                            try:
+                                arr.copy_to_host_async()
+                            except Exception:
+                                pass
+                        pending.append((pcm, idx, diag))
+                        if len(pending) >= 3:
+                            d.emit_active(*pending.popleft(), L_dec)
+                        d.blocks_done += 1
+                    else:
+                        d.process_block(block)
                 now = time.monotonic()
                 if now - last_status >= 0.1:
                     d.emit_status()
                     last_status = now
                 if args.blocks and d.blocks_done >= args.blocks:
                     break
+            while pending:
+                d.emit_active(*pending.popleft(), L_dec)
             d.flush()
             rx.close()
         else:

@@ -49,13 +49,27 @@ class PCMOutput:
     def send_mono(self, buffer: np.ndarray) -> None:
         self._send(np.asarray(buffer), PCM_MONO_PT, words_per_frame=1)
 
+    def send_mono_i16(self, pcm: np.ndarray) -> None:
+        """Pre-quantised int16 samples (device-side scaleclip): only the
+        byte swap and packetisation happen here."""
+        self._send_pcm(np.asarray(pcm, np.int16), PCM_MONO_PT, 1)
+
+    def advance(self, frames: int) -> None:
+        """Suppressed audio: the RTP clock advances without a packet and
+        the next audible packet gets the talk-spurt marker
+        (audio.c:102-113) — used when silence was decided device-side."""
+        self.state.timestamp = (self.state.timestamp + frames) & 0xFFFFFFFF
+        self.silent = True
+
     def send_stereo(self, buffer: np.ndarray) -> None:
         """buffer: (n, 2) float — I left, Q right (linear.c:297-299)."""
         buf = np.asarray(buffer).reshape(-1)
         self._send(buf, PCM_STEREO_PT, words_per_frame=2)
 
     def _send(self, flat: np.ndarray, pt: int, words_per_frame: int) -> None:
-        pcm = scaleclip_int16(flat)
+        self._send_pcm(scaleclip_int16(flat), pt, words_per_frame)
+
+    def _send_pcm(self, pcm: np.ndarray, pt: int, words_per_frame: int) -> None:
         for i in range(0, len(pcm), PCM_BUFSIZE):
             chunk = pcm[i : i + PCM_BUFSIZE]
             frames = len(chunk) // words_per_frame

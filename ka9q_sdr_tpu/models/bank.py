@@ -284,17 +284,54 @@ def bank_step_packed(cfg: BankConfig, template):
     return packed
 
 
-def bank_step_packed_i16(cfg: BankConfig, template):
+def bank_step_packed_i16(cfg: BankConfig, template, pcm_out: bool = False):
     """Like bank_step_packed but ingesting raw (L, 2) int16 — half the
     host->device bytes with the scale conversion (radio.c:38) fused into
-    the program.  ~36% faster per block over the remote-TPU tunnel."""
+    the program.  ~36% faster per block over the remote-TPU tunnel.
+
+    pcm_out=True additionally quantises the audio to int16 ON DEVICE
+    (scaleclip, audio.c:22-28): the download halves and the host skips
+    the clip/scale pass — PCM packetisation becomes a byte swap."""
     from ..ops.packing import tree_c2r, tree_r2c, r2c
 
     def packed(state_r, x_i16):
         x = x_i16.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
         state = tree_r2c(state_r, template)
         new_state, audio, diag = bank_step(cfg, state, r2c(x))
+        if pcm_out:
+            audio = jnp.clip(
+                audio * 32767.0, -32768.0, 32767.0
+            ).astype(jnp.int16)
         return tree_c2r(new_state), audio, diag
+
+    return packed
+
+
+def bank_step_active(cfg: BankConfig, template, max_active: int):
+    """bank_step with device-side ACTIVE-CHANNEL COMPACTION — the
+    reference's silence suppression (audio.c:102-113) lifted to the bank:
+    squelched/silent channels never cross the host boundary.
+
+    Returns (state, pcm_i16 (max_active, L_dec), idx (max_active,) int32,
+    diag): the top-max_active channels by audio peak, already scaleclipped
+    to int16 on device; idx[i] = -1 marks unused slots (channel silent).
+    Download shrinks from n_channels*L_dec to max_active*L_dec."""
+    from ..ops.packing import tree_c2r, tree_r2c, r2c
+
+    def packed(state_r, x_i16):
+        x = x_i16.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+        state = tree_r2c(state_r, template)
+        new_state, audio, diag = bank_step(cfg, state, r2c(x))
+        flat = audio.reshape(audio.shape[0], -1)
+        peak = jnp.max(jnp.abs(flat), axis=-1)
+        score, idx = jax.lax.top_k(peak, max_active)
+        sel = jnp.take(flat, idx, axis=0)
+        pcm = jnp.clip(sel * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        # mark channels whose int16 audio is all-zero as inactive: this is
+        # exactly the all-zero-packet criterion of audio.c:54
+        active = jnp.max(jnp.abs(pcm), axis=-1) > 0
+        idx = jnp.where(active, idx, -1)
+        return tree_c2r(new_state), pcm, idx.astype(jnp.int32), diag
 
     return packed
 
@@ -340,6 +377,28 @@ class ChannelBank:
             )
         self.state, audio, diag = self._step_i16(self.state, x_i16)
         return audio, diag
+
+    def process_i16_pcm(self, x_i16):
+        """int16 in, int16 PCM out: both transfers halved, clip/scale on
+        the device.  Audio comes back as int16 ready for byte-swap."""
+        if not hasattr(self, "_step_i16_pcm"):
+            self._step_i16_pcm = jax.jit(
+                bank_step_packed_i16(self.cfg, self._template, pcm_out=True)
+            )
+        self.state, audio, diag = self._step_i16_pcm(self.state, x_i16)
+        return audio, diag
+
+    def process_active(self, x_i16, max_active: int = 64):
+        """int16 in; compacted int16 PCM of the top-max_active non-silent
+        channels out, plus their channel indices (-1 = unused slot).  The
+        serving path for large banks: silent channels stay on-chip."""
+        if getattr(self, "_max_active", None) != max_active:
+            self._max_active = max_active
+            self._step_active = jax.jit(
+                bank_step_active(self.cfg, self._template, max_active)
+            )
+        self.state, pcm, idx, diag = self._step_active(self.state, x_i16)
+        return pcm, idx, diag
 
     def tune(self, channel: int, freq_hz: float) -> None:
         """Retune one channel without phase discontinuity: the block-phase

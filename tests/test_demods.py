@@ -298,3 +298,50 @@ class TestMultiBank:
         # quiet FM channel squelches
         assert bool(np.asarray(outs[0][1]["squelch_open"])[1])
         assert not bool(np.asarray(outs[0][1]["squelch_open"])[0])
+
+
+class TestActiveCompaction:
+    def test_top_k_active_selection(self):
+        """Device-side silence suppression at bank scale: only non-silent
+        channels cross the host boundary (bank_step_active)."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs, Lw = 1.536e6, 30720
+        cfg = make_bank_config(8, "FM", samprate=fs, L=Lw, M=34817)
+        freqs = list(np.linspace(-0.45 * fs, 0.45 * fs, 8, endpoint=False))
+        bank = ChannelBank(cfg, freqs)
+        rng = np.random.default_rng(5)
+        phase = 0.0
+        for b in range(10):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            inst = 3000 * np.cos(2 * np.pi * 1000 * tt)
+            ph = np.cumsum(2 * np.pi * inst / fs) + phase
+            phase = ph[-1]
+            sig = 0.4 * np.exp(1j * (2 * np.pi * freqs[3] * tt + ph))
+            sig = sig + 0.4 * np.exp(1j * (2 * np.pi * freqs[6] * tt + 0.7 * ph))
+            sig = sig + 0.003 * (
+                rng.standard_normal(Lw) + 1j * rng.standard_normal(Lw)
+            )
+            x = np.empty((Lw, 2), np.int16)
+            x[:, 0] = np.clip(sig.real * 32767, -32768, 32767)
+            x[:, 1] = np.clip(sig.imag * 32767, -32768, 32767)
+            pcm, idx, diag = bank.process_active(x, max_active=4)
+        act = sorted(int(i) for i in np.asarray(idx) if i >= 0)
+        assert act == [3, 6]
+        assert np.asarray(pcm).dtype == np.int16
+
+    def test_pcm_advance_keeps_clock(self):
+        """Suppressed channels still advance the RTP timestamp and flag
+        the next talk spurt (audio.c silence suppression semantics)."""
+        from ka9q_sdr_tpu.io.pcm import PCMOutput
+        from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+        sent = []
+        out = PCMOutput(send=sent.append, ssrc=1)
+        out.send_mono_i16(np.full(480, 1000, np.int16))
+        out.advance(960)   # two suppressed blocks
+        out.send_mono_i16(np.full(480, 1000, np.int16))
+        h0, _ = RTPHeader.from_bytes(sent[0])
+        h1, _ = RTPHeader.from_bytes(sent[1])
+        assert h1.timestamp - h0.timestamp == 480 + 960
+        assert h1.marker   # talk-spurt restart after suppression
