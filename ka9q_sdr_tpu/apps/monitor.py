@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import math
 import select
 import sys
 import time
@@ -23,15 +24,78 @@ from ..audio.playout import Mixer, SAMPRATE
 from ..net.multicast import setup_mcast
 
 
+def run_mixer_ui(stdscr, mixer, stop):
+    """Session mixer UI (monitor.c:530-733): Up/Down select a session,
+    +/- gain, l/r pan, m mute, q quit."""
+    import curses
+
+    curses.curs_set(0)
+    stdscr.timeout(200)
+    sel = 0
+    while not stop["quit"]:
+        stdscr.erase()
+        stdscr.addstr(0, 0, "monitor — sessions", curses.A_BOLD)
+        rows = sorted(mixer.sessions.items())
+        for i, (ssrc, sess) in enumerate(rows):
+            attr = curses.A_REVERSE if i == sel else curses.A_NORMAL
+            stdscr.addstr(
+                2 + i, 0,
+                f"ssrc {ssrc:>8x}  pkts {sess.packets:>7}  "
+                f"gain {20*math.log10(max(sess.gain,1e-6)):+5.1f} dB  "
+                f"pan {sess.pan:+.2f}  lates {sess.lates}"
+                + ("  MUTED" if sess.muted else ""),
+                attr,
+            )
+        stdscr.addstr(
+            len(rows) + 3, 0,
+            "Up/Dn select  +/- gain  l/r pan  m mute  q quit",
+        )
+        stdscr.refresh()
+        ch = stdscr.getch()
+        if ch == -1:
+            continue
+        if ch == ord("q"):
+            stop["quit"] = True
+            return
+        if not rows:
+            continue
+        sel = max(0, min(sel, len(rows) - 1))
+        sess = rows[sel][1]
+        if ch == curses.KEY_UP:
+            sel = max(0, sel - 1)
+        elif ch == curses.KEY_DOWN:
+            sel = min(len(rows) - 1, sel + 1)
+        elif ch in (ord("+"), ord("=")):
+            sess.gain *= 10 ** (1 / 20)
+        elif ch == ord("-"):
+            sess.gain /= 10 ** (1 / 20)
+        elif ch == ord("l"):
+            sess.pan = max(-1.0, sess.pan - 0.1)
+        elif ch == ord("r"):
+            sess.pan = min(1.0, sess.pan + 0.1)
+        elif ch == ord("m"):
+            sess.muted = not sess.muted
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="monitor")
     p.add_argument("groups", nargs="+", help="PCM/Opus multicast name:port")
     p.add_argument("--seconds", type=float, default=0.0, help="stop after N s")
     p.add_argument("--chunk-ms", type=float, default=20.0)
+    p.add_argument("--tui", action="store_true",
+                   help="interactive session mixer (gain/pan/mute)")
     args = p.parse_args(argv)
 
     socks = [setup_mcast(g, output=False) for g in args.groups]
     mixer = Mixer()
+    stop = {"quit": False}
+    if args.tui:
+        import threading, curses
+
+        threading.Thread(
+            target=lambda: curses.wrapper(run_mixer_ui, mixer, stop),
+            daemon=True,
+        ).start()
     out = sys.stdout.buffer
     chunk = int(SAMPRATE * args.chunk_ms / 1000)
     t0 = time.monotonic()
@@ -51,6 +115,8 @@ def main(argv=None) -> int:
                 out.flush()
                 next_due += args.chunk_ms / 1000.0
             if args.seconds and now - t0 >= args.seconds:
+                return 0
+            if stop["quit"]:
                 return 0
     except (KeyboardInterrupt, BrokenPipeError):
         return 0

@@ -258,12 +258,20 @@ def scale_iq(raw: jax.Array, bits: int = 16) -> jax.Array:
 @dataclass
 class SDRStatus:
     """Mirror of the front end's TLV status (struct sdr, radio.h), as used
-    by the tuning math (radio.c:200-284)."""
+    by the tuning math (radio.c:200-284).  Until the front end reports its
+    alias keep-out, default to IF_EXCLUDE x Nyquist (radio.c:28) scaled to
+    the actual sample rate (the funcube reports +/-91.2 kHz at 192 kHz)."""
 
     samprate: int = 192000
     frequency: float = 0.0   # LO1, Hz
-    min_IF: float = -91200.0
-    max_IF: float = 91200.0
+    min_IF: float = float("nan")
+    max_IF: float = float("nan")
+
+    def __post_init__(self):
+        if np.isnan(self.min_IF):
+            self.min_IF = -IF_EXCLUDE * self.samprate / 2
+        if np.isnan(self.max_IF):
+            self.max_IF = IF_EXCLUDE * self.samprate / 2
 
 
 def receiver_step_packed(cfg: ReceiverConfig, template):

@@ -98,3 +98,46 @@ class TestGoldenParity:
         # blanking decisions at the 0.55*avg threshold can flip on float
         # noise, so individual samples may differ; demand deep parity still
         assert err < -60.0
+
+
+class TestBankVsReceiver:
+    def test_bank_channel_matches_single_receiver(self):
+        """The flagship's frequency-domain downconversion must equal the
+        faithful time-domain LO2 path when the channel center sits on a
+        master bin (the paths are then mathematically identical)."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs, Lw, Mw = 1.536e6, 30720, 34817
+        N = Lw + Mw - 1
+        # center on an exact master bin
+        k = 4096
+        f0 = k * fs / N
+        cfg = make_bank_config(4, "USB", samprate=fs, L=Lw, M=Mw)
+        freqs = [f0, -300e3, 150e3, 400e3]
+        bank = ChannelBank(cfg, freqs)
+
+        rx = Receiver(
+            make_receiver_config("USB", samprate=int(fs), out_rate=48000,
+                                 L=Lw, M=Mw)
+        )
+        rx.set_freq(f0)
+
+        rng = np.random.default_rng(9)
+        ours, single = [], []
+        for b in range(12):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            sig = 0.2 * np.exp(2j * np.pi * (f0 + 1000.0) * tt)
+            sig = sig + 0.01 * (
+                rng.standard_normal(Lw) + 1j * rng.standard_normal(Lw)
+            )
+            sig = sig.astype(np.complex64)
+            audio_b, _ = bank.process(sig)
+            audio_r, _ = rx.process(sig)
+            ours.append(np.asarray(audio_b)[0])
+            single.append(np.asarray(audio_r))
+        a = np.concatenate(ours)[4 * 960:]
+        g = np.concatenate(single)[4 * 960:]
+        err = float(np.sqrt(np.mean((a - g) ** 2)))
+        sig_rms = float(np.sqrt(np.mean(g**2)))
+        # identical math modulo float ordering: deep parity expected
+        assert err < 1e-4 * max(sig_rms, 1e-9), (err, sig_rms)
