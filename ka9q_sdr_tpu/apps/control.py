@@ -71,6 +71,8 @@ class StatusMirror:
                 self.values[t] = st.decode_float(v)
             elif t in _STRING_KEYS:
                 self.values[t] = v.decode("ascii", "replace")
+            elif t == StatusType.SPECTRUM_128:
+                self.values[t] = v   # raw uint8 dB bins
             else:
                 self.values[t] = st.decode_int(v)
 

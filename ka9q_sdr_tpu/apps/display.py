@@ -96,7 +96,21 @@ def _render(stdscr, mirror: StatusMirror, tuning: TuningState, bp, msg: str):
         e = bp.lookup(freq)
         if e:
             stdscr.addstr(3, 32, f"{e.name} [{' '.join(e.mode_names)}]")
-    row = 5
+    # spectrum pane: 128-bin sparkline from the status stream
+    spec = mirror.get(StatusType.SPECTRUM_128)
+    if spec and maxx > 70:
+        import numpy as _np
+
+        bins = _np.frombuffer(spec, _np.uint8).astype(float)
+        lo, hi = bins.min(), max(bins.max(), bins.min() + 1)
+        glyphs = " \u2581\u2582\u2583\u2584\u2585\u2586\u2587\u2588"
+        w = min(len(bins), maxx - 6)
+        line = "".join(
+            glyphs[int((bins[i] - lo) / (hi - lo) * 8) if bins[i] > lo else 0]
+            for i in range(w)
+        )
+        stdscr.addstr(4, 2, line)
+    row = 6
     for line in mirror.render().split("\n")[1:]:
         if row >= maxy - 3:
             break

@@ -46,6 +46,17 @@ class FrontEndDaemon:
         # recording sit at fixed RF = center + IF, so a retune shifts the
         # replayed spectrum by (center - actual)
         self.center = self.requested
+        # hackrf-style wideband path: ADC rate = samprate * 2^decimate_log2,
+        # +Fs/4 shift to dodge the DC spike, then the half-band cascade
+        # (hackrf.c:270-318)
+        self.decim_log2 = getattr(args, "decimate_log2", 0)
+        self.adc_rate = self.samprate * (1 << self.decim_log2)
+        self.cascade = None
+        self.fs4_phase = 0
+        if self.decim_log2:
+            from ..models.frontend import HalfBandCascade
+
+            self.cascade = HalfBandCascade(self.decim_log2)
         self.corrector = FrontEndCorrector(BLOCKSIZE, self.samprate)
         self.data_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
         self.ctl_sock = setup_mcast(args.output, output=False, offset=2)
@@ -64,18 +75,24 @@ class FrontEndDaemon:
     # ---- sample source ----
 
     def next_block(self) -> np.ndarray:
+        n_adc = BLOCKSIZE * (1 << self.decim_log2)
         if self._file is not None:
-            raw = self._file.read(BLOCKSIZE * 4)
-            if len(raw) < BLOCKSIZE * 4:
+            raw = self._file.read(n_adc * 4)
+            if len(raw) < n_adc * 4:
                 self._file.seek(0)
-                raw = self._file.read(BLOCKSIZE * 4)
+                raw = self._file.read(n_adc * 4)
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
             iq = (x[0::2] + 1j * x[1::2]).astype(np.complex64)
         else:
             iq = 0.01 * (
-                self._rng.standard_normal(BLOCKSIZE)
-                + 1j * self._rng.standard_normal(BLOCKSIZE)
+                self._rng.standard_normal(n_adc)
+                + 1j * self._rng.standard_normal(n_adc)
             ).astype(np.complex64)
+        if self.cascade is not None:
+            from ..models.frontend import fs4_shift
+
+            iq, self.fs4_phase = fs4_shift(iq, self.fs4_phase)
+            iq = self.cascade.process(iq)
         # model retune: a signal fixed at RF moves through the IF passband
         # by (recording center - actual LO1), frac-N quantisation included
         df = self.center - self.actual
@@ -178,6 +195,9 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--frequency", default="146m")
     p.add_argument("-r", "--samprate", type=float, default=192000)
     p.add_argument("--iq-file", help="replay this recording as the A/D")
+    p.add_argument("--decimate-log2", type=int, default=0,
+                   help="hackrf-style: ADC at samprate*2^N, Fs/4 shift + "
+                        "half-band cascade down to samprate")
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--seconds", type=float, default=0.0)
     args = p.parse_args(argv)

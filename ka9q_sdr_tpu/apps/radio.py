@@ -204,6 +204,11 @@ class RadioDaemon:
             st.encode_float(pkt, StatusType.PL_TONE, float(pl))
         if "pll_lock" in diag:
             st.encode_int(pkt, StatusType.PLL_LOCK, int(bool(diag["pll_lock"])))
+        psd = diag.get("psd128")
+        if psd is not None:
+            db = 10.0 * np.log10(np.maximum(np.asarray(psd), 1e-30))
+            q = np.clip(db + 120.0, 0, 255).astype(np.uint8)
+            st.encode_string(pkt, StatusType.SPECTRUM_128, q.tobytes())
         st.encode_eol(pkt)
         self.status_count += 1
         out = self.compactor.compact(

@@ -234,6 +234,15 @@ def receiver_step(
     diag = dict(diag)
     diag["n0"] = n0
     diag["if_power"] = if_power
+    # 128-bin peak-held power spectrum of the master FFT, ordered
+    # -fs/2..+fs/2, for the display's spectrum pane (costs one reshape+max
+    # on data the FFT already produced)
+    ps = jnp.real(fdomain) ** 2 + jnp.imag(fdomain) ** 2
+    ps = jnp.fft.fftshift(ps)
+    nb = 128
+    trim = (ps.shape[-1] // nb) * nb
+    diag["psd128"] = jnp.max(ps[..., :trim].reshape(ps.shape[:-1] + (nb, -1)),
+                             axis=-1)
 
     new_state = ReceiverState(
         overlap=overlap,

@@ -83,6 +83,9 @@ class StatusType(enum.IntEnum):
     PLL_SQUARE = 48
     PLL_PHASE = 49
     OUTPUT_CHANNELS = 50
+    # --- extensions beyond the reference's enum (documented here; the
+    # reference protocol ignores unknown keys by design) ---
+    SPECTRUM_128 = 100   # 128 x uint8, dB + 120, bins -fs/2..+fs/2
 
 
 def encode_int(buf: bytearray, type_: int, x: int) -> int:

@@ -151,3 +151,49 @@ class TestParseFrequency:
         assert parse_frequency("1g2") == 1.2e9
         assert parse_frequency("120000") == 120000.0  # >= 1e5 as-is
         assert parse_frequency("48k") == 48000.0
+
+
+class TestSpectrumExtension:
+    def test_psd_rides_the_status_stream(self):
+        """The SPECTRUM_128 TLV extension: device-side PSD of the master
+        FFT (post-LO2, so the tuned carrier sits at center bin 64) decoded
+        by the control mirror."""
+        import types
+
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+        from ka9q_sdr_tpu.apps.control import StatusMirror
+        from ka9q_sdr_tpu.net.status import StatusType
+        from ka9q_sdr_tpu.io.modulate import Modulator
+        from ka9q_sdr_tpu.io.iqfile import write_metadata
+
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "am.iq")
+            m = Modulator("am", frequency=48000.0, amplitude_db=-10.0)
+            with open(path, "wb") as f:
+                for b in range(20):
+                    tt = (b * 240 + np.arange(240)) / 48000
+                    f.write(m.to_int16(m.process(
+                        (0.5 * np.sin(2 * np.pi * 400 * tt)).astype(np.float32))))
+            write_metadata(path, {"samplerate": "192000"})
+
+            args = build_parser().parse_args(
+                ["--iq-file", path, "-f", "48k", "-m", "AM"])
+            d = RadioDaemon(args)
+            sent = []
+            d.status_sock = types.SimpleNamespace(send=sent.append)
+            from ka9q_sdr_tpu.io.iqfile import IQReader
+
+            diag = None
+            for i, block in enumerate(IQReader(path).blocks(3840)):
+                _, diag = d.rx.process(block)
+            d.emit_status({k: np.asarray(v) for k, v in diag.items()})
+            mirror = StatusMirror()
+            mirror.update(sent[0])
+            spec = mirror.get(StatusType.SPECTRUM_128)
+            assert spec is not None and len(spec) == 128
+            bins = np.frombuffer(spec, np.uint8)
+            # carrier downconverted to DC -> center bin; strong peak
+            assert abs(int(np.argmax(bins)) - 64) <= 1
+            assert bins.max() - bins.min() > 40
