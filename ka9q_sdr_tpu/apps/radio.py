@@ -248,6 +248,8 @@ class RadioDaemon:
     # ---- main loops ----
 
     def run_file(self) -> None:
+        import jax as _jax
+
         rd = IQReader(self.args.iq_file)
         n = 0
         last_status = 0.0
@@ -257,7 +259,7 @@ class RadioDaemon:
             n += 1
             now = time.monotonic()
             if now - last_status >= 0.1:
-                self.emit_status(diag)
+                self.emit_status(_jax.device_get(diag))
                 self.emit_rtcp()
                 last_status = now
             if self.args.blocks and n >= self.args.blocks:
@@ -321,17 +323,35 @@ class RadioDaemon:
 
     def _run_native(self, rx_native) -> None:
         """Network loop on the C++ engine: dense float blocks from the
-        native ring; control sockets polled between blocks."""
+        native ring; control sockets polled between blocks.
+
+        Over a remote-TPU tunnel every device->host fetch costs a ~50 ms
+        round trip, so audio fetches are pipelined three deep
+        (copy_to_host_async) and the diag pytree is fetched as one batched
+        device_get per status tick, not one RTT per scalar."""
+        from collections import deque
+
+        import jax as _jax
+
         socks = [s for s in (self.status_recv, self.fe_status_sock) if s]
         diag = {}
+        diag_np = {}
+        pending = deque()
         last_status = 0.0
+        last_diag_fetch = 0.0
         n = 0
         while True:
             block = rx_native.get_block(200)
             if block is not None:
                 iq = (block[:, 0] + 1j * block[:, 1]).astype(np.complex64)
                 audio, diag = self.rx.process(iq)
-                self._emit_audio(audio)
+                try:
+                    audio.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append(audio)
+                if len(pending) >= 6:
+                    self._emit_audio(pending.popleft())
                 n += 1
             if socks:
                 ready, _, _ = select.select(socks, [], [], 0)
@@ -343,10 +363,18 @@ class RadioDaemon:
                         self.handle_command(data)
             now = time.monotonic()
             if now - last_status >= 0.1:
-                self.emit_status(diag)
+                # status emits at the reference's 10 Hz, but the diag
+                # pytree is re-fetched only at 2 Hz: over the tunnel each
+                # batched device_get costs a ~50 ms round trip
+                if diag and now - last_diag_fetch >= 0.5:
+                    diag_np = _jax.device_get(diag)
+                    last_diag_fetch = now
+                self.emit_status(diag_np)
                 self.emit_rtcp()
                 last_status = now
             if self.args.blocks and n >= self.args.blocks:
+                while pending:
+                    self._emit_audio(pending.popleft())
                 rx_native.close()
                 return
 

@@ -265,3 +265,49 @@ class TestModulator:
         usb = spec[np.argmin(np.abs(f - 49000))]
         lsb = spec[np.argmin(np.abs(f - 47000))]
         assert usb > 30 * lsb
+
+
+class TestBlockAssembler:
+    def _packet(self, seq, ts, payload_samples, ssrc=3, pt=97, legacy=True):
+        from ka9q_sdr_tpu.net.rtp import RTPHeader
+        from ka9q_sdr_tpu.net.sdr_header import LegacyStatus
+
+        hdr = RTPHeader(type=pt, seq=seq, timestamp=ts, ssrc=ssrc)
+        body = hdr.to_bytes()
+        if legacy:
+            body += LegacyStatus(samprate=192000).to_bytes()
+        return body + payload_samples
+
+    def test_gap_fill_and_scaling(self):
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+
+        asm = BlockAssembler(720)
+        pay = np.full(480, 16384, np.int16).astype("<i2").tobytes()  # 240 samp
+        asm.push(self._packet(0, 0, pay))
+        asm.push(self._packet(2, 480, pay))  # packet 1 lost -> 240-sample hole
+        blocks = list(asm.blocks())
+        assert len(blocks) == 1
+        b = blocks[0]
+        assert np.allclose(b[:240].real, 16384 / 32767)
+        assert np.all(b[240:480] == 0)        # the hole
+        assert np.allclose(b[480:].real, 16384 / 32767)
+        assert asm.rtp_state.drops == 1
+
+    def test_iq8_payload(self):
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+
+        asm = BlockAssembler(240)
+        pay = np.full(480, 64, np.int8).tobytes()   # 240 samples of 64/127
+        asm.push(self._packet(0, 0, pay, pt=98))
+        (b,) = list(asm.blocks())
+        assert np.allclose(b.real, 64 / 127, atol=1e-6)
+
+    def test_dupes_dropped(self):
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+
+        asm = BlockAssembler(240)
+        pay = np.zeros(480, "<i2").tobytes()
+        asm.push(self._packet(5, 0, pay))
+        asm.push(self._packet(5, 0, pay))
+        assert asm.rtp_state.dupes == 1
+        assert len(list(asm.blocks())) == 1
