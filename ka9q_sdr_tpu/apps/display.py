@@ -186,9 +186,11 @@ def run_ui(stdscr, args):
         elif ch == ord("m"):
             s = _prompt(stdscr, "Mode").upper()
             if s:
-                # mode changes are not yet a TLV key in the reference
-                # protocol; the daemon restarts with -m.  Display only.
-                msg = f"mode change requires daemon restart with -m {s}"
+                pkt = bytearray([1])
+                st.encode_string(pkt, StatusType.RADIO_MODE, s)
+                st.encode_eol(pkt)
+                cmd_sock.send(bytes(pkt))
+                msg = f"sent mode {s}"
 
 
 def main(argv=None) -> int:

@@ -231,6 +231,14 @@ class RadioDaemon:
                 self.freq = f
                 if lo1 is not None:
                     self._send_lo1_command(lo1)
+            elif t == StatusType.RADIO_MODE:
+                # runtime mode change (set_mode, radio.c:322-374)
+                name = v.decode("ascii", "replace").strip().upper()
+                try:
+                    self.rx.set_mode(name)
+                    self.mode = name
+                except KeyError:
+                    pass
 
     def handle_fe_status(self, data: bytes) -> None:
         """Front-end TLV status (recv_sdr_status / decode_sdr_status,

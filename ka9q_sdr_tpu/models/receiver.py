@@ -256,6 +256,38 @@ def receiver_step(
     return new_state, audio, diag
 
 
+def receiver_scan(cfg: ReceiverConfig, state: ReceiverState, blocks):
+    """Offline batch path: lax.scan the receiver over many blocks in ONE
+    device program — no per-block dispatch or transfer round trips.  The
+    TPU-native equivalent of replaying a recording through `radio` faster
+    than real time (iqplay -> radio, SURVEY.md §4).
+
+    blocks: (nblocks, L) complex.  Returns (final_state, audio) with
+    audio stacked (nblocks, ...).  Diagnostics are dropped in this mode
+    (they exist per block; fetch the final state instead)."""
+
+    def step(st, blk):
+        st2, audio, _ = receiver_step(cfg, st, blk)
+        return st2, audio
+
+    return jax.lax.scan(step, state, blocks)
+
+
+def receiver_scan_packed(cfg: ReceiverConfig, template):
+    """receiver_scan with the real-dtype jit boundary: int16 (nblocks, L, 2)
+    in, float32 audio out."""
+    from ..ops.packing import tree_c2r, tree_r2c
+
+    def packed(state_r, x_i16):
+        x = x_i16.astype(jnp.float32) * jnp.float32(SCALE16)
+        blocks = jax.lax.complex(x[..., 0], x[..., 1])
+        state = tree_r2c(state_r, template)
+        new_state, audio = receiver_scan(cfg, state, blocks)
+        return tree_c2r(new_state), audio
+
+    return packed
+
+
 def scale_iq(raw: jax.Array, bits: int = 16) -> jax.Array:
     """int16/int8 interleaved I/Q -> complex64 full scale (radio.c:106-120).
     raw: (..., 2n) int array, I/Q interleaved."""
@@ -382,6 +414,47 @@ class Receiver:
         self.state = self.state._replace(
             gain_factor=jnp.float32(g)
         )
+
+    def set_mode(self, mode: str) -> None:
+        """Runtime mode change (set_mode, radio.c:322-374): the reference
+        kills and respawns the demod thread; here the config and jitted
+        program rebuild.  Tuning oscillators keep their phase; demod state
+        resets (as a fresh thread's would)."""
+        from ..ops.packing import tree_c2r_np
+
+        old_packed = self.state
+        old_tmpl = self._template
+        cfg = make_receiver_config(
+            mode,
+            samprate=self.cfg.samprate,
+            out_rate=int(self.cfg.dsamprate),
+            L=self.cfg.master.L,
+            M=self.cfg.master.M,
+        )
+        self.cfg = cfg
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._template = receiver_init(cfg)
+            fresh = tree_c2r_np(
+                jax.tree_util.tree_map(np.asarray, self._template)
+            )
+        # carry oscillator phases and the master overlap across the switch
+        self.state = fresh._replace(
+            overlap=old_packed.overlap,
+            lo2=old_packed.lo2,
+            doppler=old_packed.doppler,
+            gain_factor=old_packed.gain_factor,
+        )
+        self._step = jax.jit(receiver_step_packed(cfg, self._template))
+
+    def process_offline(self, blocks_i16: np.ndarray) -> np.ndarray:
+        """Batch-demodulate (nblocks, L, 2) int16 I/Q in one device
+        program (receiver_scan): the fast path for recordings."""
+        if not hasattr(self, "_scan"):
+            from ..models.receiver import receiver_scan_packed
+
+            self._scan = jax.jit(receiver_scan_packed(self.cfg, self._template))
+        self.state, audio = self._scan(self.state, blocks_i16)
+        return np.asarray(audio)
 
 
 def make_receiver(mode: str = "FM", **kw) -> Receiver:
