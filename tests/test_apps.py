@@ -265,3 +265,59 @@ class TestOfflineScan:
         # ordering differences amplify; from block 1 the paths are exact
         assert np.allclose(audio_scan[1:], loop[1:], atol=1e-5)
         assert np.allclose(audio_scan[0], loop[0], atol=1e-3)
+
+
+class TestIQRecordRoundtrip:
+    def test_record_then_replay_demodulates(self, am_recording, tmp_path):
+        """iqrecord captures a multicast session (sparse, xattr metadata);
+        replaying the file through radio recovers the audio — the
+        reference's golden-capture methodology (SURVEY.md §4)."""
+        import threading
+
+        from ka9q_sdr_tpu.apps.iqrecord import main as rec_main
+        from ka9q_sdr_tpu.apps.iqplay import play_stream
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+        from ka9q_sdr_tpu.apps.radio import main as radio_main
+
+        grp = "239.88.9.1:5004"
+        rec_dir = str(tmp_path / "recs")
+        import os
+
+        os.makedirs(rec_dir)
+        npkts = 300
+        t = threading.Thread(
+            target=rec_main,
+            args=(["-I", grp, "-d", rec_dir, "--packets", str(npkts)],),
+        )
+        t.start()
+        time.sleep(0.5)
+        tx = setup_mcast(grp, output=True, ttl=0)
+        fh = open(am_recording, "rb")
+
+        def reader():
+            return fh.read(960)   # b"" at EOF ends the pass
+
+        # feed whole-file passes until the recorder has its packets
+        for _ in range(20):
+            fh.seek(0)
+            play_stream(reader, tx, 192000, 146520000.0, realtime=False)
+            time.sleep(0.2)
+            if not t.is_alive():
+                break
+        t.join(timeout=10)
+        assert not t.is_alive()
+        recs = [f for f in os.listdir(rec_dir) if not f.endswith(".attrs")]
+        assert len(recs) == 1
+        rec_path = os.path.join(rec_dir, recs[0])
+        assert recs[0].startswith("iqrecord-146520000")
+        from ka9q_sdr_tpu.io.iqfile import read_metadata
+
+        attrs = read_metadata(rec_path)
+        assert attrs["samplerate"] == "192000"
+
+        pcm = str(tmp_path / "replay.pcm")
+        radio_main(["--iq-file", rec_path, "-f", "48k", "-m", "AM",
+                    "--pcm-raw", pcm])
+        a = np.frombuffer(open(pcm, "rb").read(), ">i2").astype(np.float32) / 32767
+        assert len(a) > 10000
+        assert abs(_tone(a) - 400.0) < 5.0

@@ -345,3 +345,72 @@ class TestActiveCompaction:
         h1, _ = RTPHeader.from_bytes(sent[1])
         assert h1.timestamp - h0.timestamp == 480 + 960
         assert h1.marker   # talk-spurt restart after suppression
+
+
+class TestISB:
+    def test_independent_sidebands_split(self):
+        """ISB (CROSS_CONJ, filter.c:239-249): the lower sideband lands on
+        the I (left) channel and the upper on Q (right)."""
+        rx = Receiver(make_receiver_config("ISB", samprate=FS))
+        rx.set_freq(30000.0)
+        out = []
+        for b in range(25):
+            tt = (b * L + np.arange(L)) / FS
+            sig = 0.2 * np.exp(2j * np.pi * (30000 + 1000) * tt)   # USB tone
+            sig = sig + 0.2 * np.exp(2j * np.pi * (30000 - 700) * tt)  # LSB
+            audio, _ = rx.process(sig.astype(np.complex64))
+            out.append(np.asarray(audio))
+        a = np.concatenate(out, axis=0)   # (n, 2) stereo
+        left, right = a[len(a) // 2:, 0], a[len(a) // 2:, 1]
+
+        def peak(x):
+            sp = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+            return np.fft.rfftfreq(len(x), 1 / 48000)[np.argmax(sp[5:]) + 5]
+
+        lp, rp = peak(left), peak(right)
+        # one channel carries the 700 Hz LSB tone, the other the 1 kHz USB
+        assert {round(lp, -1), round(rp, -1)} == {700.0, 1000.0}, (lp, rp)
+
+
+class TestDSB:
+    def test_squaring_loop_recovers_carrier(self):
+        """DSB: the squaring loop regenerates the suppressed carrier at 2f
+        and the PLL locks at f (linear.c:135-144,190-199)."""
+        rx = Receiver(make_receiver_config("DSB", samprate=FS))
+        rx.set_freq(30000.0)
+        ferr = 15.0
+        out = []
+        diag = None
+        for b in range(170):
+            tt = (b * L + np.arange(L)) / FS
+            # suppressed-carrier DSB: audio tone x carrier
+            sig = (
+                0.4 * np.sin(2 * np.pi * 600 * tt)
+                * np.exp(2j * np.pi * (30000 + ferr) * tt)
+            ).astype(np.complex64)
+            audio, diag = rx.process(sig)
+            out.append(np.asarray(audio))
+        assert bool(diag["pll_lock"])
+        # acquisition found the carrier (delta_f is half the 2f component)
+        assert abs(float(np.asarray(rx.state.demod.delta_f)) - ferr) < 2.0
+        a = np.concatenate(out)[-30000:]
+        sp = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        f = np.fft.rfftfreq(len(a), 1 / 48000)
+        assert abs(f[np.argmax(sp[5:]) + 5] - 600.0) < 10.0
+
+
+class TestAME:
+    def test_enhanced_am(self):
+        """AME (CHU-style USB + full carrier, modes.txt:39): PLL tracks the
+        carrier; the USB audio comes through."""
+        rx = Receiver(make_receiver_config("AME", samprate=FS))
+        rx.set_freq(30000.0)
+        out = []
+        for b in range(60):
+            tt = (b * L + np.arange(L)) / FS
+            sig = 0.3 * np.exp(2j * np.pi * 30000 * tt)          # carrier
+            sig = sig + 0.15 * np.exp(2j * np.pi * 31000 * tt)   # USB tone
+            audio, diag = rx.process(sig.astype(np.complex64))
+            out.append(np.asarray(audio))
+        a = np.concatenate(out)
+        assert abs(tone_freq(a) - 1000.0) < 10.0
