@@ -43,6 +43,10 @@ __all__ = ["main", "RadioDaemon"]
 class RadioDaemon:
     def __init__(self, args):
         self.args = args
+        if getattr(args, "modes", None):
+            from ..utils import modes as _modes
+
+            _modes.DEFAULT_MODES.update(_modes.load_modes(args.modes))
         self.mode = args.mode.upper()
         self.rx = Receiver(
             make_receiver_config(
@@ -415,6 +419,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--blocks", type=int, default=0, help="stop after N blocks")
     p.add_argument("--state", help="load/save state file name")
+    p.add_argument("--modes", help="modes.txt-format table to load "
+                   "(readmodes, modes.c:32); default: built-in table")
     p.add_argument("-d", "--doppler",
                    help="ephemeris command for Doppler steering (doppler.c)")
     p.add_argument("--cpu", action="store_true",

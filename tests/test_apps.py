@@ -321,3 +321,21 @@ class TestIQRecordRoundtrip:
         a = np.frombuffer(open(pcm, "rb").read(), ">i2").astype(np.float32) / 32767
         assert len(a) > 10000
         assert abs(_tone(a) - 400.0) < 5.0
+
+
+class TestCustomModesFile:
+    def test_radio_loads_modes_txt(self, am_recording, tmp_path):
+        """radio --modes loads a reference-format modes.txt (modes.c:32)."""
+        mf = tmp_path / "modes.txt"
+        mf.write_text(
+            "# custom table\n"
+            "WIDEAM  AM  -9000  +9000  0  -50  +50  0.0\n"
+        )
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+        args = build_parser().parse_args(
+            ["--iq-file", am_recording, "-f", "48k", "-m", "WIDEAM",
+             "--modes", str(mf)])
+        d = RadioDaemon(args)
+        assert d.rx.cfg.mode.high == 9000.0
+        assert d.rx.cfg.mode.demod == "AM"
