@@ -31,4 +31,4 @@ from .receiver import (
     Receiver,
     make_receiver,
 )
-from .bank import BankConfig, BankState, ChannelBank, make_bank
+from .bank import BankConfig, BankState, ChannelBank, MultiBank, make_bank

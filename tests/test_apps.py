@@ -339,3 +339,83 @@ class TestCustomModesFile:
         d = RadioDaemon(args)
         assert d.rx.cfg.mode.high == 9000.0
         assert d.rx.cfg.mode.demod == "AM"
+
+
+class TestFaultTolerance:
+    def test_gap_preserves_lo_phase_and_timing(self, am_recording):
+        """Packet loss -> zero-fill keeps the sample count AND the LO
+        phase advancing (radio.c:81-99): after the gap the recovered tone
+        must come back at the same frequency AND phase as an unbroken
+        stream (coherence through the outage)."""
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+        from ka9q_sdr_tpu.models.receiver import Receiver, make_receiver_config
+
+        FS, Lb = 192000, 3840
+
+        def make_packets(drop: set):
+            """tone at +31 kHz, 240-sample packets, some dropped."""
+            pkts = []
+            for i in range(80):
+                if i in drop:
+                    continue
+                tt = (i * 240 + np.arange(240)) / FS
+                sig = 0.2 * np.exp(2j * np.pi * 31000 * tt)
+                pay = np.empty(480, np.int16)
+                pay[0::2] = np.clip(sig.real * 32767, -32768, 32767)
+                pay[1::2] = np.clip(sig.imag * 32767, -32768, 32767)
+                hdr = RTPHeader(type=IQ_PT, seq=i, timestamp=i * 240, ssrc=1)
+                pkts.append(hdr.to_bytes() + b"\x00" * 24 + pay.tobytes())
+            return pkts
+
+        def run(drop):
+            asm = BlockAssembler(Lb)
+            rx = Receiver(make_receiver_config("USB", samprate=FS,
+                                               enable_pl=False))
+            rx.set_freq(30000.0)
+            audio = []
+            for p in make_packets(drop):
+                asm.push(p)
+                for blk in asm.blocks():
+                    a, _ = rx.process(blk)
+                    audio.append(np.asarray(a))
+            return np.concatenate(audio)
+
+        clean = run(set())
+        gappy = run({20, 21, 22})   # 720-sample outage mid-stream
+        assert len(clean) == len(gappy)   # timing preserved exactly
+        # after the gap's transient, the streams must re-align coherently
+        tail_c, tail_g = clean[-3000:], gappy[-3000:]
+        corr = np.dot(tail_c, tail_g) / np.sqrt(
+            np.dot(tail_c, tail_c) * np.dot(tail_g, tail_g)
+        )
+        # phase-coherent (a phase slip would drive this toward 0); the
+        # residual difference is the AGC still re-settling after the gap
+        assert corr > 0.95, corr
+
+    def test_reorder_and_dupes_survive(self, am_recording):
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+        asm = BlockAssembler(960)
+        pay = np.full(480, 5000, np.int16).astype("<i2").tobytes()
+
+        def pkt(seq, ts):
+            return (RTPHeader(type=IQ_PT, seq=seq, timestamp=ts, ssrc=9)
+                    .to_bytes() + b"\x00" * 24 + pay)
+
+        asm.push(pkt(0, 0))
+        asm.push(pkt(1, 240))
+        asm.push(pkt(1, 240))   # dupe
+        asm.push(pkt(3, 720))   # 2 skipped (arrives early)
+        asm.push(pkt(2, 480))   # late: old timestamp -> dropped
+        blocks = list(asm.blocks())
+        assert len(blocks) == 1
+        b = blocks[0]
+        assert np.all(b[:480] != 0)        # packets 0,1
+        assert np.all(b[480:720] == 0)     # packet 2's slot zero-filled
+        assert np.all(b[720:] != 0)        # packet 3
+        # the true dupe AND the late packet both count as dupes
+        # (negative seq step, multicast.c:326-329)
+        assert asm.rtp_state.dupes == 2
+        assert asm.rtp_state.drops == 1

@@ -165,3 +165,37 @@ class TestAPRS:
         # well-known APRS-IS hash examples
         assert aprs_passcode("KA9Q") == aprs_passcode("ka9q-15")
         assert 0 <= aprs_passcode("N0CALL") <= 0x7FFF
+
+
+class TestFMPacketChain:
+    def test_aprs_over_nbfm_channel(self):
+        """The reference's APRS chain: AFSK-1200 audio frequency-modulated
+        onto an NBFM carrier, demodulated by the FM receiver (including
+        de-emphasis), then decoded by the packet modem — radio -> packetd
+        end to end in the DSP domain."""
+        from ka9q_sdr_tpu.models.receiver import Receiver, make_receiver_config
+        from ka9q_sdr_tpu.decode.afsk import AFSKDemodulator, afsk_modulate
+
+        frame = build_ui_frame(src="KA9Q-9", info=b"!3722.50N/12200.00W-fm chain")
+        audio48 = afsk_modulate(frame, amplitude=1.0)
+        audio48 = np.concatenate(
+            [np.zeros(4000, np.float32), audio48, np.zeros(8000, np.float32)]
+        )
+        FS, Lb = 192000, 3840
+        # FM-modulate at 3 kHz deviation: zero-order-hold to 192 kHz
+        audio192 = np.repeat(audio48, 4)
+        n = (len(audio192) // Lb) * Lb
+        audio192 = audio192[:n]
+        inst = 3000.0 * audio192
+        ph = np.cumsum(2 * np.pi * inst / FS)
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 20000 * np.arange(n) / FS + ph))
+              ).astype(np.complex64)
+
+        rx = Receiver(make_receiver_config("FM", samprate=FS, enable_pl=False))
+        rx.set_freq(20000.0)
+        demod = AFSKDemodulator()
+        got = []
+        for b in range(n // Lb):
+            audio, _ = rx.process(iq[b * Lb : (b + 1) * Lb])
+            got += demod.process(np.asarray(audio))
+        assert frame in got, [len(g) for g in got]
