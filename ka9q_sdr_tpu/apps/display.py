@@ -27,7 +27,7 @@ import time
 from ..net.multicast import setup_mcast
 from ..net import status as st
 from ..net.status import StatusType
-from ..utils.misc import parse_frequency, power2db
+from ..utils.misc import parse_frequency
 from ..utils.bandplan import Bandplan
 from .control import StatusMirror
 

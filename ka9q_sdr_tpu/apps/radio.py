@@ -34,7 +34,7 @@ from ..net.status import StatusType, StatusCompactor
 from ..io.pcm import PCMOutput
 from ..io.assembler import BlockAssembler
 from ..io.iqfile import IQReader
-from ..utils.misc import parse_frequency, power2db
+from ..utils.misc import parse_frequency
 from ..utils.state import RadioState, savestate, loadstate
 
 __all__ = ["main", "RadioDaemon"]

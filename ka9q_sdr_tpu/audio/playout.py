@@ -15,7 +15,6 @@ plus up to 1 ms of interaural delay (monitor.c:435-449).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np

@@ -9,8 +9,7 @@ bit flags talk-spurt starts.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
@@ -22,7 +21,7 @@ from ..net.rtp import (
     PCM_STEREO_PT,
     OPUS_PT,
 )
-from .opus_codec import OPUS_AVAILABLE, OpusEncoder
+from .opus_codec import OpusEncoder
 
 __all__ = ["OpusSession", "OpusTranscoder"]
 

@@ -11,7 +11,7 @@ dense L-sample blocks (SURVEY.md §7 "variable-length/irregular I/O").
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

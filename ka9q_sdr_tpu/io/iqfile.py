@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..net.rtp import RTPHeader, RTPState, rtp_process, IQ_PT, PCM_MONO_PT, PCM_STEREO_PT
+from ..net.rtp import RTPHeader, RTPState, rtp_process, IQ_PT, PCM_MONO_PT
 
 __all__ = ["write_metadata", "read_metadata", "IQRecorder", "IQReader"]
 

@@ -14,8 +14,6 @@ design-time/test code — CPU is fine.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +26,7 @@ from ..ops.fftfilt import (
     master_execute,
     slave_execute,
 )
-from ..ops.nco import OscState, osc_init, set_osc, osc_block
+from ..ops.nco import osc_init, set_osc, osc_block
 from ..ops.window import window_filter
 
 __all__ = ["MODULATE_PRESETS", "Modulator"]

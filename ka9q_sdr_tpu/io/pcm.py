@@ -10,7 +10,7 @@ conversion of a whole block is one op, not a per-sample loop.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

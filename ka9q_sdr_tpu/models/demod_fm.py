@@ -31,7 +31,6 @@ from ..ops.fftfilt import (
     FilterType,
     MasterSpec,
     SlaveSpec,
-    master_init,
     master_execute,
     slave_execute,
 )

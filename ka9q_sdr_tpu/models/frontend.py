@@ -16,8 +16,6 @@ loop without hardware.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import numpy as np
 
 from ..ops.decimate import hb15_coeffs

@@ -27,7 +27,6 @@ from ..ops.fftfilt import (
     FilterType,
     MasterSpec,
     SlaveSpec,
-    master_init,
     master_execute,
     slave_execute,
     set_filter_response,

@@ -8,7 +8,7 @@ port + 1 (main.c:442-513).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = [
     "RTCPSenderReport",

@@ -9,7 +9,7 @@ timestamp-gap reporting for zero-fill.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = [
     "RTP_VERS",

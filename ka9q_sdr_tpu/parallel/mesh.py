@@ -18,7 +18,6 @@ make_sharded_bank_step's `shard_fft` flag (not yet implemented).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -8,7 +8,7 @@ Impulse len/Source/Output/TTL/Tunestep/Locale.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = ["RadioState", "state_path", "savestate", "loadstate"]
 

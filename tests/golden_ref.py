@@ -217,3 +217,56 @@ class GoldenReceiver:
         fd = self.master.execute(mixed)
         bb = self.slave.execute(fd)
         return self.demod.demod(bb)
+
+
+class GoldenSlaveCrossConj(GoldenSlave):
+    """CROSS_CONJ (ISB) slave: complex in, cross-conjugated out
+    (filter.c:225-249)."""
+
+    def execute(self, fdomain):
+        h = self.N_dec // 2
+        pos = self.response[: h + 1] * fdomain[: h + 1]
+        neg = self.response[h + 1 :] * fdomain[self.m.N - h + 1 :]
+        f_fd = np.concatenate([pos, neg]).astype(np.complex64)
+        # ISB trick (filter.c:239-249)
+        for p in range(1, h):
+            dn = self.N_dec - p
+            a, b = f_fd[p], f_fd[dn]
+            f_fd[p] = a + np.conj(b)
+            f_fd[dn] = b - np.conj(a)
+        y = np.fft.ifft(f_fd) * self.N_dec
+        return y[self.N_dec - self.olen :].astype(np.complex64)
+
+
+class GoldenLinearShift(GoldenLinear):
+    """Linear demod with the post-AGC CW shift oscillator
+    (linear.c:283-289) and stereo option."""
+
+    def __init__(self, dsamprate, shift_hz, mono=True, **kw):
+        super().__init__(dsamprate, **kw)
+        self.shift_freq = shift_hz / dsamprate
+        self.shift_phase = 0.0
+        self.mono = mono
+
+    def demod(self, bb):
+        out = np.empty(len(bb) if self.mono else (len(bb), 2), F32)
+        for n, s in enumerate(bb):
+            amplitude = F32(np.sqrt(s.real * s.real + s.imag * s.imag))
+            if amplitude * self.gain > self.headroom:
+                self.gain = F32(self.headroom / amplitude)
+                self.hang = self.hangmax
+            elif self.hang != 0:
+                self.hang -= 1
+            else:
+                self.gain = F32(self.gain * self.recovery)
+            v = s * self.gain
+            if self.shift_freq != 0.0:
+                lo = np.exp(2j * np.pi * self.shift_phase)
+                self.shift_phase = (self.shift_phase + self.shift_freq) % 1.0
+                v = v * lo
+            if self.mono:
+                out[n] = F32(v.real)
+            else:
+                out[n, 0] = F32(v.real)
+                out[n, 1] = F32(v.imag)
+        return out

@@ -141,3 +141,85 @@ class TestBankVsReceiver:
         sig_rms = float(np.sqrt(np.mean(g**2)))
         # identical math modulo float ordering: deep parity expected
         assert err < 1e-4 * max(sig_rms, 1e-9), (err, sig_rms)
+
+
+class TestGoldenCWAndISB:
+    def test_cwu_shift_parity(self):
+        """CW offset oscillator after AGC (linear.c:283-289)."""
+        from golden_ref import (
+            GoldenMaster, GoldenSlave, GoldenLinearShift,
+        )
+        from ka9q_sdr_tpu.ops.fftfilt import (
+            MasterSpec, SlaveSpec, FilterType, set_filter_response,
+        )
+        from ka9q_sdr_tpu.utils.modes import DEFAULT_MODES
+
+        md = DEFAULT_MODES["CWU"]
+        rx = Receiver(make_receiver_config("CWU", samprate=FS,
+                                           enable_pl=False))
+        rx.set_freq(30000.0)
+
+        master = GoldenMaster(L, 4353)
+        spec = SlaveSpec(MasterSpec(L, 4353, FilterType.COMPLEX), 4,
+                         FilterType.COMPLEX)
+        resp = set_filter_response(spec, md.low / 48000, md.high / 48000, 3.0)
+        slave = GoldenSlave(master, resp, 4)
+        gold = GoldenLinearShift(48000.0, md.shift,
+                                 recovery_db_s=md.recovery_rate,
+                                 hangtime_s=md.hangtime)
+        lo2_phase = 0.0
+        ours, theirs = [], []
+        for b in range(16):
+            tt = (b * L + np.arange(L)) / FS
+            iq = (0.2 * np.exp(2j * np.pi * 30050 * tt)).astype(np.complex64)
+            a, _ = rx.process(iq)
+            ours.append(np.asarray(a))
+            k = np.arange(L)
+            lo = np.exp(2j * np.pi * (lo2_phase + k * (-30000.0 / FS)))
+            lo2_phase = (lo2_phase + L * (-30000.0 / FS)) % 1.0
+            fd = master.execute((iq * lo).astype(np.complex64))
+            theirs.append(gold.demod(slave.execute(fd)))
+        a = np.concatenate(ours)[4 * 960:]
+        g = np.concatenate(theirs)[4 * 960:]
+        err = rms_dbfs(a - g)
+        print(f"CWU: error {err:.1f} dBFS")
+        assert err < -80.0
+
+    def test_isb_crossconj_parity(self):
+        """ISB cross-conjugate sidebands (filter.c:239-249) as stereo."""
+        from golden_ref import GoldenMaster, GoldenSlaveCrossConj, GoldenLinearShift
+        from ka9q_sdr_tpu.ops.fftfilt import (
+            MasterSpec, SlaveSpec, FilterType, set_filter_response,
+        )
+        from ka9q_sdr_tpu.utils.modes import DEFAULT_MODES
+
+        md = DEFAULT_MODES["ISB"]
+        rx = Receiver(make_receiver_config("ISB", samprate=FS,
+                                           enable_pl=False))
+        rx.set_freq(30000.0)
+        master = GoldenMaster(L, 4353)
+        spec = SlaveSpec(MasterSpec(L, 4353, FilterType.COMPLEX), 4,
+                         FilterType.CROSS_CONJ)
+        resp = set_filter_response(spec, md.low / 48000, md.high / 48000, 3.0)
+        slave = GoldenSlaveCrossConj(master, resp, 4)
+        gold = GoldenLinearShift(48000.0, 0.0, mono=False,
+                                 recovery_db_s=md.recovery_rate,
+                                 hangtime_s=md.hangtime)
+        lo2_phase = 0.0
+        ours, theirs = [], []
+        for b in range(16):
+            tt = (b * L + np.arange(L)) / FS
+            iq = (0.2 * np.exp(2j * np.pi * 31000 * tt)
+                  + 0.15 * np.exp(2j * np.pi * 29300 * tt)).astype(np.complex64)
+            a, _ = rx.process(iq)
+            ours.append(np.asarray(a))
+            k = np.arange(L)
+            lo = np.exp(2j * np.pi * (lo2_phase + k * (-30000.0 / FS)))
+            lo2_phase = (lo2_phase + L * (-30000.0 / FS)) % 1.0
+            fd = master.execute((iq * lo).astype(np.complex64))
+            theirs.append(gold.demod(slave.execute(fd)))
+        a = np.concatenate(ours, axis=0)[4 * 960:]
+        g = np.concatenate(theirs, axis=0)[4 * 960:]
+        err = rms_dbfs(a - g)
+        print(f"ISB: error {err:.1f} dBFS")
+        assert err < -80.0
