@@ -116,16 +116,19 @@ def phase_ramp(state: OscState, n: int) -> jax.Array:
 
     phase_k = phi0 + k*f + k(k-1)/2 * r, evaluated with the integer part in
     exact uint32 arithmetic and the residual/sweep parts in float32.
+    Broadcasts over batched oscillator state: leaves of shape (...,)
+    produce a (..., n) ramp.
     """
     k32 = jnp.arange(n, dtype=jnp.uint32)
-    fixed = state.phase + k32 * state.freq  # wraps mod 2^32: phase mod 1
+    fixed = state.phase[..., None] + k32 * state.freq[..., None]
     kf = jnp.arange(n, dtype=jnp.float32)
     frac = (
-        state.phase_resid
-        + kf * state.freq_resid
-        + (kf * (kf - 1.0) * 0.5) * state.rate
+        state.phase_resid[..., None]
+        + kf * state.freq_resid[..., None]
+        + (kf * (kf - 1.0) * 0.5) * state.rate[..., None]
     )
-    return fixed.astype(jnp.float32) * jnp.float32(1.0 / _TWO32) + frac
+    out = fixed.astype(jnp.float32) * jnp.float32(1.0 / _TWO32) + frac
+    return out if state.phase.ndim else out.reshape(n)
 
 
 def osc_block(state: OscState, n: int) -> tuple[OscState, jax.Array]:

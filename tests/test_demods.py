@@ -414,3 +414,32 @@ class TestAME:
             out.append(np.asarray(audio))
         a = np.concatenate(out)
         assert abs(tone_freq(a) - 1000.0) < 10.0
+
+
+class TestBatchedPLL:
+    def test_cam_bank_channels_lock_independently(self):
+        """Coherent (PLL) modes batched across bank channels: each channel
+        runs its own acquisition FFT, loop filter and lock hysteresis."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs, Lw = 1.536e6, 30720
+        cfg = make_bank_config(2, "CAM", samprate=fs, L=Lw, M=34817)
+        freqs = [-200e3, 150e3]
+        bank = ChannelBank(cfg, freqs)
+        rng = np.random.default_rng(2)
+        diag = None
+        for b in range(170):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            sig = 0.3 * (1 + 0.3 * np.sin(2 * np.pi * 400 * tt)) * np.exp(
+                2j * np.pi * (freqs[0] + 12.0) * tt
+            )
+            sig = sig + 0.3 * (1 + 0.3 * np.sin(2 * np.pi * 900 * tt)) * np.exp(
+                2j * np.pi * (freqs[1] - 20.0) * tt
+            )
+            sig = sig + 0.002 * (
+                rng.standard_normal(Lw) + 1j * rng.standard_normal(Lw)
+            )
+            _, diag = bank.process(sig.astype(np.complex64))
+        assert np.asarray(diag["pll_lock"]).all()
+        df = np.asarray(bank.state.demod.delta_f)
+        assert abs(df[0] - 12.0) < 2.0 and abs(df[1] + 20.0) < 2.0
