@@ -153,3 +153,103 @@ class TestDistributedFFT:
         # device j owns bins j, j+4, j+8, j+12 at local offsets 0..3
         assert perm[0] == 0 and perm[4] == 1      # bin 4 = device 0, m=1
         assert perm[1] == 4 and perm[5] == 5      # bin 1 = device 1, m=0
+
+
+class TestHalfBandCascadeJax:
+    def test_64_to_1_tone_survives(self):
+        """ops.decimate hb_cascade (the hackrf 64:1 path) on the device
+        path: in-band tone at unity gain after 0.5^stages compensation."""
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.decimate import cascade_init, hb_cascade
+
+        fs = 12.288e6
+        log2d = 6
+        states = cascade_init(log2d, dtype=jnp.complex64)
+        n = 1 << 15
+        t = np.arange(n) / fs
+        x = np.exp(2j * np.pi * 20e3 * t).astype(np.complex64)
+        out = []
+        for i in range(0, n, 4096):
+            states, y = hb_cascade(states, jnp.asarray(x[i : i + 4096]), log2d)
+            out.append(np.asarray(y))
+        y = np.concatenate(out) * (0.5**log2d)
+        seg = y[200:]
+        # tone amplitude ~1, frequency preserved at the decimated rate
+        assert abs(np.abs(seg).mean() - 1.0) < 0.05
+        ph = np.unwrap(np.angle(seg))
+        f = (ph[-1] - ph[0]) / (len(seg) - 1) / (2 * np.pi) * (fs / 64)
+        assert abs(f - 20e3) < 20
+
+    def test_matches_numpy_mirror(self):
+        """ops.decimate (jax) equals models.frontend.HalfBandCascade
+        (numpy host mirror) on the same stream."""
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.decimate import cascade_init, hb_cascade
+        from ka9q_sdr_tpu.models.frontend import HalfBandCascade
+
+        rng = np.random.default_rng(4)
+        x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
+            np.complex64
+        )
+        states = cascade_init(4, dtype=jnp.complex64)
+        jout = []
+        casc = HalfBandCascade(4)
+        nout = []
+        for i in range(0, 8192, 2048):
+            states, y = hb_cascade(states, jnp.asarray(x[i : i + 2048]), 4)
+            jout.append(np.asarray(y) * 0.5**4)
+            nout.append(casc.process(x[i : i + 2048]))
+        assert np.allclose(np.concatenate(jout), np.concatenate(nout),
+                           atol=1e-5)
+
+
+class TestNotch:
+    def test_notch_removes_tone(self):
+        """Experimental IIR complex notch (filter.c:551-571): a tone at the
+        notch frequency decays; off-frequency content passes."""
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.iir import notch_init, notch_block
+
+        fs = 48000.0
+        st = notch_init(1000.0 / fs, 0.01)
+        n = 48000
+        t = np.arange(n) / fs
+        x = (np.exp(2j * np.pi * 1000 * t)
+             + 0.5 * np.exp(2j * np.pi * 5000 * t)).astype(np.complex64)
+        out = []
+        for i in range(0, n, 4800):
+            st, y = notch_block(st, jnp.asarray(x[i : i + 4800]))
+            out.append(np.asarray(y))
+        y = np.concatenate(out)[-9600:]
+        spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
+        f = np.fft.fftfreq(len(y), 1 / fs)
+        at_notch = spec[np.argmin(np.abs(f - 1000))]
+        at_pass = spec[np.argmin(np.abs(f - 5000))]
+        assert at_pass > 20 * at_notch
+
+
+class TestNCOSweep:
+    def test_doppler_sweep_chirps_linearly(self):
+        """osc sweep (phasor_step_step, osc.c): frequency ramps at `rate`
+        cycles/sample^2 with phase continuity across blocks."""
+        from ka9q_sdr_tpu.ops.nco import osc_init, set_osc, osc_block
+
+        rate = 1e-9          # cycles/sample^2
+        st = set_osc(osc_init(), 0.01, rate)
+        chunks = []
+        for _ in range(10):
+            st, lo = osc_block(st, 4096)
+            chunks.append(np.asarray(lo))
+        lo = np.concatenate(chunks)
+        ph = np.unwrap(np.angle(lo).astype(np.float64)) / (2 * np.pi)
+        n = len(lo)
+        # window-averaged frequency at start vs end (single-sample float32
+        # phase differences are too noisy at the 1e-5 level)
+        w = 2000
+        f0 = (ph[w] - ph[0]) / w
+        f1 = (ph[-1] - ph[-1 - w]) / w
+        expect = rate * (n - w)
+        assert abs((f1 - f0) - expect) < 0.05 * expect
+        # phase continuity: no jumps at block boundaries
+        d = np.diff(ph)
+        assert np.all(np.abs(np.diff(d)) < 1e-4)
