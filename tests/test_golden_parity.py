@@ -223,3 +223,34 @@ class TestGoldenCWAndISB:
         err = rms_dbfs(a - g)
         print(f"ISB: error {err:.1f} dBFS")
         assert err < -80.0
+
+
+class TestGoldenSquelchTransitions:
+    def test_fm_squelch_close_and_reopen_parity(self):
+        """Signal drops mid-stream and returns: the squelch close (flush
+        block + zeros, fm.c:109-116,155-161) and reopen must match the
+        golden executor sample for sample."""
+        phase = {"p": 0.0}
+        rng = np.random.default_rng(11)
+
+        def gen(tt):
+            b = int(tt[0] * FS) // L
+            inst = 3000 * np.cos(2 * np.pi * 900 * tt)
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            if 8 <= b < 14:   # carrier vanishes for 6 blocks
+                sig = np.zeros(len(tt), complex)
+            else:
+                sig = 0.4 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+            sig = sig + 0.001 * (
+                rng.standard_normal(len(tt))
+                + 1j * rng.standard_normal(len(tt))
+            )
+            return sig
+
+        a, g = run_pair("FM", 20000.0, gen, nblocks=24)
+        err = rms_dbfs(a - g)
+        print(f"FM squelch transitions: error {err:.1f} dBFS")
+        assert err < -60.0
+        # and the squelch really did close: a silent stretch exists
+        assert np.any(np.abs(np.concatenate([a])) == 0.0)
