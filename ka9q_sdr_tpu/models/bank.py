@@ -67,6 +67,7 @@ __all__ = [
     "bank_step",
     "bank_step_packed",
     "bank_channelize",
+    "bank_tune",
 ]
 
 
@@ -336,6 +337,43 @@ def bank_step_active(cfg: BankConfig, template, max_active: int):
     return packed
 
 
+def bank_tune(
+    cfg: BankConfig, state: BankState, channel: int, freq_hz: float
+) -> BankState:
+    """Retune one channel of a BankState without phase discontinuity
+    (osc.c:24-27 semantics): the block-phase residue r keeps its value;
+    only the bin shift k, the residue step dr and the residual NCO
+    frequency change.
+
+    Works on both the complex and the packed (real-dtype) state forms —
+    every tuned leaf (k, dr, nco.freq, nco.freq_resid) is real in both —
+    and re-applies any sharding the leaf carried (an eager `.at[].set`
+    across a sharded axis can come back replicated), so it is the retune
+    path for sharded banks too."""
+
+    def _set(arr, val):
+        out = jnp.asarray(arr).at[channel].set(val)
+        sh = getattr(arr, "sharding", None)
+        if sh is not None and out.sharding != sh:
+            out = jax.device_put(out, sh)
+        return out
+
+    nu = freq_hz / cfg.samprate
+    k = int(np.round(nu * cfg.N))
+    delta = nu - k / cfg.N
+    hi, resid = split_double(-delta * cfg.decimate)
+    new_nco = state.nco._replace(
+        freq=_set(state.nco.freq, np.uint32(hi)),
+        freq_resid=_set(state.nco.freq_resid, np.float32(resid)),
+    )
+    km = k % cfg.N
+    return state._replace(
+        k=_set(state.k, km),
+        dr=_set(state.dr, int(km * cfg.master.L % cfg.N)),
+        nco=new_nco,
+    )
+
+
 class ChannelBank:
     """Host wrapper: config + state + jitted step + per-channel retune.
 
@@ -404,25 +442,8 @@ class ChannelBank:
         """Retune one channel without phase discontinuity: the block-phase
         residue r keeps its value (phase is continuous, osc.c:24-27); only
         the bin shift k and the residual NCO frequency change."""
-        cfg = self.cfg
-        nu = freq_hz / cfg.samprate
-        k = int(np.round(nu * cfg.N))
-        delta = nu - k / cfg.N
         self.freqs[channel] = freq_hz
-        st = self.state
-        hi, resid = split_double(-delta * cfg.decimate)
-        new_nco = st.nco._replace(
-            freq=jnp.asarray(st.nco.freq).at[channel].set(np.uint32(hi)),
-            freq_resid=jnp.asarray(st.nco.freq_resid)
-            .at[channel]
-            .set(np.float32(resid)),
-        )
-        km = k % cfg.N
-        self.state = st._replace(
-            k=jnp.asarray(st.k).at[channel].set(km),
-            dr=jnp.asarray(st.dr).at[channel].set(int(km * cfg.master.L % cfg.N)),
-            nco=new_nco,
-        )
+        self.state = bank_tune(self.cfg, self.state, channel, freq_hz)
 
 
 class MultiBank:

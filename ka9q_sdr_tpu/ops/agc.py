@@ -10,10 +10,11 @@ Semantics follow am.c:26-30,64-74 and linear.c:33-39,269-280 exactly:
 This is a genuinely sequential per-sample recurrence (the gain at sample n
 depends on the clamp history); we run it as a `lax.scan` over the block,
 with the carry batched over channels so a vmapped channel bank shares one
-scan.  A block-rate approximation for the fast path is provided as
-`agc_block_coarse` (gain updated once per block from the block peak), which
-is what the multichannel bench uses; `agc_block` is the faithful
-per-sample version used for parity tests and the single-channel receiver.
+scan.  `agc_block` — the faithful per-sample version — is the default
+everywhere, including the multichannel bank and the bench (measured: the
+scan costs ~nothing at 1024 channels, see CLAUDE.md).  A block-rate
+approximation `agc_block_coarse` (gain updated once per block from the
+block peak) is kept for experiments but is not wired into any model.
 
 The AGC rates are specified in dB/s in the mode table (modes.c:89-91) and
 converted with dB2voltage(rate * samptime) (am.c:27, linear.c:34).

@@ -102,11 +102,13 @@ def set_osc_traced(state: OscState, f: jax.Array, r=0.0) -> OscState:
     accumulator every block, so long-run phase still wraps correctly.
     """
     f = jnp.asarray(f, jnp.float32)
+    # zeros_like/broadcast keep the batch shape of a vmapped/sharded state —
+    # a scalar here would silently collapse the (B,) leaves of a bank.
     return OscState(
         phase=state.phase,
-        freq=jnp.uint32(0),
-        freq_resid=f,
-        rate=jnp.asarray(r, jnp.float32),
+        freq=jnp.zeros_like(state.phase),
+        freq_resid=jnp.broadcast_to(f, state.phase.shape),
+        rate=jnp.broadcast_to(jnp.asarray(r, jnp.float32), state.phase.shape),
         phase_resid=state.phase_resid,
     )
 

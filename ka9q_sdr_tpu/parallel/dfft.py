@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["dfft", "undo_comb", "make_dfft"]
 
@@ -76,7 +76,7 @@ def make_dfft(mesh: Mesh, N: int, axis: str = "ch"):
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

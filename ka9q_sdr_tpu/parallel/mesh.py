@@ -76,12 +76,32 @@ def make_sharded_bank_step(cfg: BankConfig, mesh: Mesh, template, packed_state):
     `template` is the unpacked BankState structure (complex dtypes marked),
     `packed_state` a packed state used to derive the sharding pytree.
     Returns (step_fn, sharded_initial_state).
+
+    The channel count must divide evenly over the mesh (XLA NamedSharding
+    rejects uneven leading axes); pad the bank with spare channels (tune
+    them anywhere, ignore their audio) to reach a multiple of the device
+    count.
     """
+    n_dev = mesh.devices.size
+    if cfg.n_channels % n_dev:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by the "
+            f"{n_dev}-device mesh; pad the bank to a multiple of "
+            f"{n_dev} channels (spare channels cost ~nothing)"
+        )
     shardings = bank_state_shardings(mesh, packed_state)
     x_sh = NamedSharding(mesh, P())  # wideband block replicated
+    # Pin the state's *output* shardings too: otherwise XLA may return a
+    # constant-derived leaf (e.g. the PLL's set_osc_traced zeros) as
+    # replicated, and feeding it back into in_shardings raises.
     step = jax.jit(
         bank_step_packed(cfg, template),
         in_shardings=(shardings, x_sh),
+        out_shardings=(
+            shardings,
+            NamedSharding(mesh, P(CHANNEL_AXIS)),  # audio: channel-sharded
+            None,                                  # diag: let XLA place
+        ),
     )
     return step, jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, s), packed_state, shardings

@@ -1,0 +1,100 @@
+"""Sharded channel-bank correctness on the 8-virtual-device CPU mesh.
+
+The multi-chip design (parallel/mesh.py) shards the bank's channel axis
+with a replicated wideband block; these tests assert the sharded program
+is numerically identical to the single-device `bank_step_packed` over
+multiple blocks, through a mid-run retune, for FM and for a PLL linear
+mode — so a sharding-induced numerical bug fails CI, not just the
+driver's dryrun.  Reference semantics: one logical receiver spanning
+chips == the master/slave fan-out of filter.c:22-35 at scale.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.models.bank import (
+    bank_init,
+    bank_step_packed,
+    bank_tune,
+    make_bank_config,
+)
+from ka9q_sdr_tpu.ops.packing import tree_c2r_np
+from ka9q_sdr_tpu.parallel.mesh import (
+    make_channel_mesh,
+    make_sharded_bank_step,
+)
+
+SAMPRATE = 1.536e6
+L, M = 3840, 4353
+
+
+def _mk(n_ch, mode, **kw):
+    cfg = make_bank_config(n_ch, mode, samprate=SAMPRATE, L=L, M=M, **kw)
+    usable = 0.9 * SAMPRATE
+    freqs = list(np.linspace(-usable / 2, usable / 2, n_ch, endpoint=False))
+    template = bank_init(cfg, freqs)
+    packed = tree_c2r_np(jax.tree_util.tree_map(np.asarray, template))
+    return cfg, template, packed, freqs
+
+
+def _blocks(cfg, freqs, n_blocks, seed=7):
+    """Noise + a couple of strong carriers so demods/AGC/PLL do real work."""
+    rng = np.random.default_rng(seed)
+    tt = np.arange(n_blocks * L) / SAMPRATE
+    x = 0.01 * (rng.standard_normal(len(tt)) + 1j * rng.standard_normal(len(tt)))
+    for ch in (1, len(freqs) // 2):
+        x += 0.3 * np.exp(2j * np.pi * freqs[ch] * tt)
+    x = x.astype(np.complex64)
+    xr = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    return [xr[i * L : (i + 1) * L] for i in range(n_blocks)]
+
+
+@pytest.mark.parametrize("mode", ["FM", "CAM"])
+def test_sharded_bank_matches_unsharded(mode):
+    """5 blocks, mid-run tune at block 2; FM and a PLL linear mode (CAM)."""
+    n_ch = 16
+    cfg, template, packed, freqs = _mk(n_ch, mode)
+    mesh = make_channel_mesh(8)
+    step, state = make_sharded_bank_step(cfg, mesh, template, packed)
+    ref_step = jax.jit(bank_step_packed(cfg, template))
+    ref_state = jax.tree_util.tree_map(np.copy, packed)
+
+    for blk, xr in enumerate(_blocks(cfg, freqs, 5)):
+        if blk == 2:  # retune channel 3 mid-run, both sides identically
+            state = bank_tune(cfg, state, 3, freqs[1] + 1000.0)
+            ref_state = bank_tune(cfg, ref_state, 3, freqs[1] + 1000.0)
+        state, audio, diag = step(state, xr)
+        ref_state, ref_audio, ref_diag = ref_step(ref_state, xr)
+        np.testing.assert_allclose(
+            np.asarray(audio), np.asarray(ref_audio), atol=2e-5, rtol=1e-5,
+            err_msg=f"audio diverged at block {blk}",
+        )
+    # carried state (overlap, NCO phase words, AGC gains, PLL loop) agrees
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(ref_state)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float64),
+            np.asarray(b, dtype=np.float64),
+            atol=2e-5,
+            rtol=1e-4,
+        )
+
+
+def test_sharded_audio_layout():
+    """Output audio is sharded on the channel axis (no implicit gather)."""
+    cfg, template, packed, freqs = _mk(16, "FM")
+    mesh = make_channel_mesh(8)
+    step, state = make_sharded_bank_step(cfg, mesh, template, packed)
+    state, audio, _ = step(state, _blocks(cfg, freqs, 1)[0])
+    shard_shapes = {s.data.shape for s in audio.addressable_shards}
+    assert shard_shapes == {(2, cfg.L_dec)}  # 16 ch / 8 devices
+
+
+def test_non_divisible_channel_count_is_an_explicit_error():
+    """B=12 on 8 devices: documented ValueError, not a silent wrong answer."""
+    cfg, template, packed, _ = _mk(12, "FM")
+    mesh = make_channel_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_bank_step(cfg, mesh, template, packed)
