@@ -67,6 +67,7 @@ __all__ = [
     "bank_step",
     "bank_step_packed",
     "bank_channelize",
+    "bank_demod",
     "bank_tune",
 ]
 
@@ -220,13 +221,23 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
 
 
 def bank_channelize(
-    cfg: BankConfig, state: BankState, fdomain: jax.Array
+    cfg: BankConfig,
+    state: BankState,
+    fdomain: jax.Array,
+    bin_perm: jax.Array | None = None,
 ) -> tuple[jax.Array, OscState, jax.Array]:
     """Shared-FFT channel extraction: gather + response + block phase +
     batched IFFT + residual NCO.  Returns (new_r, new_nco, baseband) with
-    baseband (B, L_dec) complex64."""
+    baseband (B, L_dec) complex64.
+
+    bin_perm: optional (N,) index map applied to the gather indices, for
+    spectra stored in a permuted layout — e.g. the comb-major layout of the
+    distributed FFT (parallel.dfft.comb_index): true bin b lives at
+    fdomain[bin_perm[b]]."""
     N, N_dec, L_dec = cfg.N, cfg.N_dec, cfg.L_dec
     idx = (jnp.asarray(cfg.base_idx)[None, :] + state.k[:, None]) % N
+    if bin_perm is not None:
+        idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
     gathered = jnp.take(fdomain, idx, axis=0)          # (B, N_dec)
     resp = jnp.asarray(cfg.response)[None, :]
     phi = jnp.exp(
@@ -240,6 +251,18 @@ def bank_channelize(
     return new_r, new_nco, y * lo
 
 
+def bank_demod(
+    cfg: BankConfig, dstate, baseband: jax.Array
+) -> tuple[object, jax.Array, dict]:
+    """Dispatch the batched demodulator for this bank's mode (the
+    Demodtab[] of modes.c:25-30, resolved at trace time)."""
+    if cfg.mode.demod == "FM":
+        return fm_demod(cfg.demod_cfg, dstate, baseband)
+    if cfg.mode.demod == "AM":
+        return am_demod(cfg.demod_cfg, dstate, baseband)
+    return linear_demod(cfg.demod_cfg, dstate, baseband)
+
+
 def bank_step(
     cfg: BankConfig, state: BankState, iq_block: jax.Array
 ) -> tuple[BankState, jax.Array, dict]:
@@ -250,13 +273,7 @@ def bank_step(
     samp = iq_block * state.gain_factor
     overlap, fdomain = master_execute(cfg.master, state.overlap, samp)
     new_r, new_nco, baseband = bank_channelize(cfg, state, fdomain)
-
-    if cfg.mode.demod == "FM":
-        dstate, audio, diag = fm_demod(cfg.demod_cfg, state.demod, baseband)
-    elif cfg.mode.demod == "AM":
-        dstate, audio, diag = am_demod(cfg.demod_cfg, state.demod, baseband)
-    else:
-        dstate, audio, diag = linear_demod(cfg.demod_cfg, state.demod, baseband)
+    dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
 
     new_state = BankState(
         overlap=overlap,
@@ -499,12 +516,7 @@ class MultiBank:
             for cfg, s_r, tmpl in zip(cfgs, states_r, templates):
                 s = tree_r2c(s_r, tmpl)
                 new_r, new_nco, bb = bank_channelize(cfg, s, fdomain)
-                if cfg.mode.demod == "FM":
-                    ds, audio, diag = fm_demod(cfg.demod_cfg, s.demod, bb)
-                elif cfg.mode.demod == "AM":
-                    ds, audio, diag = am_demod(cfg.demod_cfg, s.demod, bb)
-                else:
-                    ds, audio, diag = linear_demod(cfg.demod_cfg, s.demod, bb)
+                ds, audio, diag = bank_demod(cfg, s.demod, bb)
                 ns = s._replace(
                     overlap=overlap, r=new_r, nco=new_nco, demod=ds
                 )

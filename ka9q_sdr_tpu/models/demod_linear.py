@@ -3,12 +3,21 @@
 Handles USB/LSB/CW/IQ/ISB/coherent-AM/DSB/BPSK: everything except FM and
 envelope AM.  Structure per block (linear.c:114-310):
 
-1. Optional PLL carrier tracking (linear.c:129-246): a 64k-point FFT
-   acquisition search over ±300 Hz picks a coarse frequency offset when the
-   loop is unlocked; a 2nd-order lag-lead loop (Gardner constants, critical
+1. Optional PLL carrier tracking (linear.c:129-246): an FFT acquisition
+   search over ±300 Hz picks a coarse frequency offset when the loop is
+   unlocked; a 2nd-order lag-lead loop (Gardner constants, critical
    damping) updates a fine NCO once per block from the block's mean phase;
    optional squaring regenerates the carrier of DSB/BPSK.  Lock detection
    is an SNR hysteresis counter.
+
+   TPU memory redesign of the acquisition buffer: the C keeps a 64k-point
+   full-rate ring (linear.c:43,131-153) — 512 MB of HBM at 1024 channels.
+   The search band is only ±300 Hz (±600 squared), so we decimate the
+   (squared) baseband through a half-band cascade (the fm.c:201-228 PL
+   trick) by `acq_decim` before ringing it: same 1.37 s window and the
+   SAME 0.73 Hz bin size from a PLL_FFT_SIZE/acq_decim-point FFT — 32x
+   less memory at the flagship geometry with bit-identical loop behavior
+   once acquired.
 2. Per-sample hang AGC on the instantaneous amplitude (linear.c:251-281),
    via the shared scan kernel.
 3. Optional post-AGC frequency shift for CW offset (linear.c:283-289).

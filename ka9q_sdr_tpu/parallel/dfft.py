@@ -32,11 +32,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["dfft", "undo_comb", "make_dfft"]
+__all__ = ["dfft", "undo_comb", "make_dfft", "make_dfft_sm", "comb_index"]
 
 
-def make_dfft(mesh: Mesh, N: int, axis: str = "ch"):
-    """Build a jitted distributed FFT over `mesh` for length-N blocks.
+def make_dfft_sm(mesh: Mesh, N: int, axis: str = "ch"):
+    """Build the shard_map'd (unjitted) distributed FFT over `mesh` for
+    length-N blocks, embeddable inside a larger jitted program (the
+    sharded channel bank uses this, parallel.mesh).
 
     Returns fn: (N,) complex64 time-sharded -> (N,) complex64 where the
     result's element k lives... logically; physically the output is
@@ -71,14 +73,18 @@ def make_dfft(mesh: Mesh, N: int, axis: str = "ch"):
         ).astype(jnp.complex64)
         return jnp.fft.fft(y * tw)
 
-    sharded = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+
+def make_dfft(mesh: Mesh, N: int, axis: str = "ch"):
+    """Jitted standalone form of make_dfft_sm (same comb-major output)."""
+    return jax.jit(make_dfft_sm(mesh, N, axis))
 
 
 def comb_index(N: int, n_devices: int) -> np.ndarray:

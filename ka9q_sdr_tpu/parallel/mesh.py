@@ -70,8 +70,22 @@ def shard_bank_state(mesh: Mesh, state: BankState) -> BankState:
     )
 
 
-def make_sharded_bank_step(cfg: BankConfig, mesh: Mesh, template, packed_state):
+def make_sharded_bank_step(
+    cfg: BankConfig,
+    mesh: Mesh,
+    template,
+    packed_state,
+    shard_fft: bool = False,
+):
     """jit the packed bank step with channel-axis input shardings.
+
+    shard_fft=True additionally distributes the wideband master FFT itself
+    across the mesh (the >100 Msps sequence-scaling path, SURVEY §5): the
+    N-point time block is split over devices, the two-step decomposition in
+    parallel.dfft computes a comb-distributed spectrum with one
+    reduce_scatter over ICI, and each device gathers its channels' N_dec
+    bins straight from the comb (bin_perm = comb_index) — XLA inserts the
+    gather collective.  Numerically identical to the replicated-FFT path.
 
     `template` is the unpacked BankState structure (complex dtypes marked),
     `packed_state` a packed state used to derive the sharding pytree.
@@ -91,11 +105,15 @@ def make_sharded_bank_step(cfg: BankConfig, mesh: Mesh, template, packed_state):
         )
     shardings = bank_state_shardings(mesh, packed_state)
     x_sh = NamedSharding(mesh, P())  # wideband block replicated
+    if shard_fft:
+        fn = _bank_step_packed_dfft(cfg, mesh, template)
+    else:
+        fn = bank_step_packed(cfg, template)
     # Pin the state's *output* shardings too: otherwise XLA may return a
     # constant-derived leaf (e.g. the PLL's set_osc_traced zeros) as
     # replicated, and feeding it back into in_shardings raises.
     step = jax.jit(
-        bank_step_packed(cfg, template),
+        fn,
         in_shardings=(shardings, x_sh),
         out_shardings=(
             shardings,
@@ -106,3 +124,49 @@ def make_sharded_bank_step(cfg: BankConfig, mesh: Mesh, template, packed_state):
     return step, jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, s), packed_state, shardings
     )
+
+
+def _bank_step_packed_dfft(cfg: BankConfig, mesh: Mesh, template):
+    """Packed bank step whose master FFT is the distributed two-step FFT.
+
+    Same semantics as models.bank.bank_step_packed (radio.c:106-147 sample
+    path, filter.c:146-172 overlap-save) with the N-point forward FFT
+    computed across the mesh and channels reading true bin b at comb
+    position comb_index[b]."""
+    import jax.numpy as jnp
+
+    from ..models.bank import BankState, bank_channelize, bank_demod
+    from ..ops.packing import tree_c2r, tree_r2c, r2c
+    from .dfft import comb_index, make_dfft_sm
+
+    n_dev = mesh.devices.size
+    if cfg.N % n_dev:
+        raise ValueError(
+            f"N={cfg.N} not divisible by the {n_dev}-device mesh"
+        )
+    dfft_fn = make_dfft_sm(mesh, cfg.N, CHANNEL_AXIS)
+    perm = jnp.asarray(comb_index(cfg.N, n_dev).astype(np.int32))
+    L = cfg.master.L
+
+    def packed(state_r, x_r):
+        state = tree_r2c(state_r, template)
+        samp = r2c(x_r) * state.gain_factor
+        buf = jnp.concatenate([state.overlap, samp], axis=-1)
+        new_overlap = buf[..., L:]
+        comb = dfft_fn(buf)   # (N,) comb-major, sharded over the mesh
+        new_r, new_nco, baseband = bank_channelize(
+            cfg, state, comb, bin_perm=perm
+        )
+        dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
+        new_state = BankState(
+            overlap=new_overlap,
+            k=state.k,
+            r=new_r,
+            dr=state.dr,
+            nco=new_nco,
+            demod=dstate,
+            gain_factor=state.gain_factor,
+        )
+        return tree_c2r(new_state), audio, diag
+
+    return packed

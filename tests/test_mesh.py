@@ -82,6 +82,36 @@ def test_sharded_bank_matches_unsharded(mode):
         )
 
 
+def test_sharded_fft_bank_matches_single_fft_bank():
+    """shard_fft=True (distributed master FFT + comb-gather channelizer)
+    is numerically identical to the replicated-FFT bank over 4 blocks."""
+    n_ch = 16
+    cfg, template, packed, freqs = _mk(n_ch, "FM")
+    mesh = make_channel_mesh(8)
+    step, state = make_sharded_bank_step(
+        cfg, mesh, template, packed, shard_fft=True
+    )
+    ref_step = jax.jit(bank_step_packed(cfg, template))
+    ref_state = jax.tree_util.tree_map(np.copy, packed)
+
+    for blk, xr in enumerate(_blocks(cfg, freqs, 4)):
+        state, audio, _ = step(state, xr)
+        ref_state, ref_audio, _ = ref_step(ref_state, xr)
+        np.testing.assert_allclose(
+            np.asarray(audio), np.asarray(ref_audio), atol=3e-5, rtol=1e-4,
+            err_msg=f"shard_fft audio diverged at block {blk}",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(ref_state)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float64),
+            np.asarray(b, dtype=np.float64),
+            atol=3e-5,
+            rtol=1e-3,
+        )
+
+
 def test_sharded_audio_layout():
     """Output audio is sharded on the channel axis (no implicit gather)."""
     cfg, template, packed, freqs = _mk(16, "FM")
