@@ -7,7 +7,12 @@ bank at real time on its native geometry scores n_channels x samprate/1e6.
 We report the *achieved* rate: blocks/sec x L x n_channels, which exceeds
 real time when the chip has headroom.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline row is the FULL reference FM workload — PL tone detection on
+(fm.c:49,201-277 always runs pltask) — plus p50/p99 block latency; a
+second stderr row measures the heaviest mode, a PLL (CAM) bank.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; extra
+rows go to stderr as comments.
 """
 
 import json
@@ -18,27 +23,18 @@ import time
 import numpy as np
 
 
-def main():
-    # 1024 channels is the throughput sweet spot on one v5e chip (~2.6 ms
-    # per 20 ms block = 7.7x realtime); 256 runs ~3 ms, 2048 ~8 ms.
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "1024"))
-    # Default bank geometry: 24.576 Msps, N=2^20 FFT, 512:1 to 48 kHz
-    samprate = float(os.environ.get("BENCH_SAMPRATE", str(24.576e6)))
-    L = int(os.environ.get("BENCH_L", str(491520)))
-    M = int(os.environ.get("BENCH_M", str(557057)))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-
+def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
     import jax
     from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
 
-    cfg = make_bank_config(n_channels, "FM", samprate=samprate, L=L, M=M)
+    cfg = make_bank_config(n_channels, mode, samprate=samprate, L=L, M=M,
+                           **cfg_kw)
     usable = 0.9 * samprate
     freqs = list(np.linspace(-usable / 2, usable / 2, n_channels, endpoint=False))
     bank = ChannelBank(cfg, freqs)
 
     rng = np.random.default_rng(1)
-    # wideband block with a few FM carriers + noise, packed real
+    # wideband block with a few carriers + noise, packed real
     tt = np.arange(L) / samprate
     x = 0.01 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
     for ch in (3, n_channels // 2, n_channels - 5):
@@ -53,13 +49,44 @@ def main():
         audio, diag = bank.process_i16(x_i)
     jax.block_until_ready(audio)
 
+    # Throughput: async dispatch (the production feeder pipelines blocks;
+    # syncing each block would time the tunnel round-trip, not the chip).
     t0 = time.perf_counter()
     for _ in range(iters):
         audio, diag = bank.process_i16(x_i)
     jax.block_until_ready(audio)
     dt = time.perf_counter() - t0
-
     sps = iters * L / dt                      # wideband samples/sec achieved
+
+    # Latency: per-block sync, separate (shorter) loop
+    lat = []
+    for _ in range(max(10, iters)):
+        t1 = time.perf_counter()
+        audio, diag = bank.process_i16(x_i)
+        jax.block_until_ready(audio)
+        lat.append(time.perf_counter() - t1)
+    lat = np.sort(lat)
+    p50 = float(lat[len(lat) // 2]) * 1e3
+    p99 = float(lat[min(len(lat) - 1, int(len(lat) * 0.99))]) * 1e3
+    return sps, p50, p99
+
+
+def main():
+    # 1024 channels is the throughput sweet spot on one v5e chip; 256 runs
+    # ~3 ms/block, 2048 ~8 ms.
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "1024"))
+    # Default bank geometry: 24.576 Msps, N=2^20 FFT, 512:1 to 48 kHz
+    samprate = float(os.environ.get("BENCH_SAMPRATE", str(24.576e6)))
+    L = int(os.environ.get("BENCH_L", str(491520)))
+    M = int(os.environ.get("BENCH_M", str(557057)))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "256"))
+
+    # Headline: FM with the PL-tone chain ON (the reference's full FM path)
+    sps, p50, p99 = _measure(
+        "FM", n_channels, samprate, L, M, warmup, iters, enable_pl=True
+    )
     value = n_channels * sps / 1e6            # channels x Msps
     baseline = 0.192                          # 1 ch x 0.192 Msps per CPU core
     print(
@@ -73,11 +100,25 @@ def main():
         )
     )
     print(
-        f"# {n_channels} ch x {samprate/1e6:.3f} Msps bank: "
+        f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank: "
         f"{sps/1e6:.2f} Msps achieved ({sps/samprate:.2f}x realtime), "
-        f"block {L} in {dt/iters*1e3:.2f} ms",
+        f"block {L}, latency p50 {p50:.2f} ms / p99 {p99:.2f} ms",
         file=sys.stderr,
     )
+
+    # Secondary row: the heaviest mode — a PLL (CAM) bank with the
+    # decimated acquisition ring (demod_linear.py)
+    if pll_channels > 0:
+        sps2, p50b, p99b = _measure(
+            "CAM", pll_channels, samprate, L, M, warmup, iters
+        )
+        print(
+            f"# CAM(PLL) {pll_channels} ch x {samprate/1e6:.3f} Msps bank: "
+            f"{sps2/1e6:.2f} Msps achieved ({sps2/samprate:.2f}x realtime), "
+            f"{pll_channels * sps2 / 1e6:.0f} ch*Msps, "
+            f"latency p50 {p50b:.2f} ms / p99 {p99b:.2f} ms",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.agc import AGCParams, AGCState, agc_init, agc_block
+from ..ops.decimate import cascade_init, hb_cascade
 from ..ops.nco import (
     OscState,
     osc_init,
@@ -68,6 +69,7 @@ class LinearConfig(NamedTuple):
     shift_freq: float = 0.0   # post-AGC shift, cycles/sample (CW offset)
     loop_bw: float = 1.0      # PLL natural frequency, Hz (linear.c:26)
     lock_time: float = 1.0    # lock hysteresis, seconds (linear.c:45)
+    acq_decim: int = 1        # acquisition-ring decimation (power of 2)
 
     @classmethod
     def make(
@@ -80,6 +82,20 @@ class LinearConfig(NamedTuple):
         **kw,
     ) -> "LinearConfig":
         samptime = 1.0 / dsamprate
+        if kw.get("pll", False) and "acq_decim" not in kw:
+            # Largest power-of-2 decimation that (a) divides the block,
+            # (b) keeps the (squared) search band within 40% of the
+            # decimated Nyquist (half-band transition-band margin), and
+            # (c) caps the ring at a sane minimum size.
+            search_max = (2.0 if kw.get("square", False) else 1.0) * SEARCH_HIGH
+            d = 1
+            while (
+                d * 2 <= 64
+                and block_len % (d * 2) == 0
+                and dsamprate / (d * 2) >= 2.5 * search_max
+            ):
+                d *= 2
+            kw["acq_decim"] = d
         return cls(
             samptime=samptime,
             blocktime=samptime * block_len,
@@ -109,7 +125,13 @@ class LinearConfig(NamedTuple):
 
     @property
     def binsize(self) -> float:
+        # Unchanged by acq_decim: ring covers the same 1.37 s window
+        # (rate/acq_decim over PLL_FFT_SIZE/acq_decim points).
         return 1.0 / (PLL_FFT_SIZE * self.samptime)
+
+    @property
+    def ring_size(self) -> int:
+        return PLL_FFT_SIZE // self.acq_decim
 
     @property
     def search_bins(self) -> int:
@@ -128,9 +150,11 @@ class LinearState(NamedTuple):
     lock_count: jax.Array   # int32 (linear.c:110)
     pll_lock: jax.Array     # bool
     snr: jax.Array          # float32, smoothed PLL SNR
-    fft_ring: Optional[jax.Array]   # (PLL_FFT_SIZE,) complex64, newest last
-    fft_samples: jax.Array  # int32, samples since last acquisition FFT
+    fft_ring: Optional[jax.Array]   # (ring_size,) complex64, newest last,
+    #                                 at the acq_decim-decimated rate
+    fft_samples: jax.Array  # int32, decimated samples since last acq FFT
     foffset: jax.Array      # float32, smoothed frequency offset, Hz
+    acq_hb: tuple = ()      # half-band cascade overlap states (complex)
 
 
 def linear_init(cfg: LinearConfig, batch_shape=()) -> LinearState:
@@ -155,12 +179,23 @@ def linear_init(cfg: LinearConfig, batch_shape=()) -> LinearState:
         pll_lock=jnp.zeros(batch_shape, bool),
         snr=jnp.zeros(batch_shape, jnp.float32),
         fft_ring=(
-            jnp.zeros(batch_shape + (PLL_FFT_SIZE,), jnp.complex64)
+            jnp.zeros(batch_shape + (cfg.ring_size,), jnp.complex64)
             if cfg.pll
             else None
         ),
         fft_samples=jnp.zeros(batch_shape, jnp.int32),
         foffset=jnp.full(batch_shape, jnp.nan, jnp.float32),
+        acq_hb=(
+            tuple(
+                cascade_init(
+                    int(np.log2(cfg.acq_decim)),
+                    dtype=jnp.complex64,
+                    batch_shape=batch_shape,
+                )
+            )
+            if cfg.pll and cfg.acq_decim > 1
+            else ()
+        ),
     )
 
 
@@ -174,7 +209,7 @@ def _acquire(cfg: LinearConfig, ring: jax.Array) -> tuple[jax.Array, jax.Array]:
     energy = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     nb = cfg.search_bins
     # bins -nb..nb; negative bins wrap to the top of the spectrum
-    idx = jnp.arange(-nb, nb + 1) % PLL_FFT_SIZE
+    idx = jnp.arange(-nb, nb + 1) % cfg.ring_size
     window = energy[..., idx]
     rel = jnp.argmax(window, axis=-1)
     maxbin = rel.astype(jnp.int32) - nb
@@ -190,10 +225,19 @@ def _pll_block(cfg: LinearConfig, state: LinearState, baseband: jax.Array):
     cphase)."""
     n = baseband.shape[-1]
 
-    # Circular FFT acquisition buffer (linear.c:131-153)
+    # Acquisition buffer (linear.c:131-153), decimated by acq_decim
+    # through a half-band cascade first (see module docstring): the
+    # search band is tiny, so the ring runs at a fraction of the rate.
     feed = baseband * baseband if cfg.square else baseband
-    ring = jnp.concatenate([state.fft_ring[..., n:], feed], axis=-1)
-    fft_samples = jnp.minimum(state.fft_samples + n, PLL_FFT_SIZE)
+    acq_hb = state.acq_hb
+    if cfg.acq_decim > 1:
+        stages = int(np.log2(cfg.acq_decim))
+        hb_states, feed = hb_cascade(list(acq_hb), feed, stages)
+        feed = feed * jnp.complex64(0.5**stages)  # unity-DC-gain cascade
+        acq_hb = tuple(hb_states)
+    nd = feed.shape[-1]
+    ring = jnp.concatenate([state.fft_ring[..., nd:], feed], axis=-1)
+    fft_samples = jnp.minimum(state.fft_samples + nd, cfg.ring_size)
 
     # Lock detector with hysteresis (linear.c:154-170)
     lock_limit = cfg.lock_limit
@@ -210,7 +254,7 @@ def _pll_block(cfg: LinearConfig, state: LinearState, baseband: jax.Array):
     )
 
     # Reacquisition (linear.c:173-201)
-    do_fft = (~pll_lock) & (fft_samples > PLL_FFT_SIZE // 2)
+    do_fft = (~pll_lock) & (fft_samples > cfg.ring_size // 2)
     if state.integrator.ndim == 0:
         new_df, found = jax.lax.cond(
             do_fft,
@@ -263,6 +307,7 @@ def _pll_block(cfg: LinearConfig, state: LinearState, baseband: jax.Array):
         fft_ring=ring,
         fft_samples=fft_samples,
         foffset=foffset,
+        acq_hb=acq_hb,
     )
     return new_state, mixed, cphase
 
