@@ -25,7 +25,12 @@ import time
 
 import numpy as np
 
-from ..models.frontend import FrontEndCorrector, fcd_actual_frequency
+from ..models.frontend import (
+    FrontEndCorrector,
+    FuncubeAGC,
+    HackRFAGC,
+    fcd_actual_frequency,
+)
 from ..net.multicast import setup_mcast
 from ..net.rtp import RTPHeader, IQ_PT
 from ..net.sdr_header import LegacyStatus
@@ -58,6 +63,21 @@ class FrontEndDaemon:
 
             self.cascade = HalfBandCascade(self.decim_log2)
         self.corrector = FrontEndCorrector(BLOCKSIZE, self.samprate)
+        # Hardware AGC model (funcube.c:588-620 / hackrf.c:679-749): the
+        # simulated analog chain applies the gain *relative to the startup
+        # setting* (the source already represents the A/D level at the
+        # initial gains); the receiver undoes the absolute gain with
+        # gain_factor = 10^(-total/20) (radio_status.c:309-316), so gain
+        # steps are transparent to the PCM output.
+        agc_kind = getattr(args, "agc", None)
+        if agc_kind is None or agc_kind == "auto":
+            agc_kind = "hackrf" if self.decim_log2 else "funcube"
+        if agc_kind == "hackrf":
+            self.agc = HackRFAGC()
+        else:   # "funcube", or "off" = funcube gains held fixed
+            self.agc = FuncubeAGC()
+        self.agc_hold = agc_kind == "off"
+        self._gain0_db = self.agc.total_db
         self.data_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
         self.ctl_sock = setup_mcast(args.output, output=False, offset=2)
         self.status_sock = setup_mcast(args.output, output=True,
@@ -100,6 +120,11 @@ class FrontEndDaemon:
             k = self.shift_phase + np.arange(BLOCKSIZE) * (df / self.samprate)
             iq = iq * np.exp(2j * np.pi * k).astype(np.complex64)
             self.shift_phase = (k[-1] + df / self.samprate) % 1.0
+        # simulated analog gain stages ahead of the A/D (relative to the
+        # startup setting; see __init__)
+        rel_db = self.agc.total_db - self._gain0_db
+        if rel_db:
+            iq = iq * np.float32(10.0 ** (rel_db / 20.0))
         return iq
 
     # ---- control plane ----
@@ -115,7 +140,11 @@ class FrontEndDaemon:
                 self.actual = fcd_actual_frequency(self.requested)
 
     def emit_status(self) -> None:
-        """10 Hz TLV status (funcube.c status thread, 836-930)."""
+        """10 Hz TLV status (funcube.c status thread, 836-930); also the
+        AGC cadence (doagc from the status cycle, funcube.c:753-755;
+        hackrf's agc thread wakes at the same 10 Hz, hackrf.c:686)."""
+        if not self.agc_hold and self.corrector.in_power > 0:
+            self.agc.step(10.0 * np.log10(self.corrector.in_power))
         pkt = bytearray([0])
         st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
         st.encode_int(pkt, StatusType.COMMANDS, self.commands)
@@ -130,9 +159,9 @@ class FrontEndDaemon:
         st.encode_float(pkt, StatusType.IQ_IMBALANCE,
                         float(self.corrector.imbalance))
         st.encode_float(pkt, StatusType.IQ_PHASE, float(self.corrector.sinphi))
-        st.encode_int(pkt, StatusType.LNA_GAIN, 1)
-        st.encode_int(pkt, StatusType.MIXER_GAIN, 1)
-        st.encode_int(pkt, StatusType.IF_GAIN, 0)
+        st.encode_int(pkt, StatusType.LNA_GAIN, self.agc.lna_gain)
+        st.encode_int(pkt, StatusType.MIXER_GAIN, self.agc.mixer_gain)
+        st.encode_int(pkt, StatusType.IF_GAIN, self.agc.if_gain)
         st.encode_eol(pkt)
         self.status_count += 1
         try:
@@ -160,7 +189,9 @@ class FrontEndDaemon:
                 timestamp=gps_ns + int(self.timestamp * 1e9 / self.samprate),
                 frequency=self.actual,
                 samprate=int(self.samprate),
-                lna_gain=1, mixer_gain=1, if_gain=0,
+                lna_gain=self.agc.lna_gain,
+                mixer_gain=self.agc.mixer_gain,
+                if_gain=self.agc.if_gain,
             )
             try:
                 self.data_sock.send(
@@ -199,6 +230,12 @@ def main(argv=None) -> int:
                    help="hackrf-style: ADC at samprate*2^N, Fs/4 shift + "
                         "half-band cascade down to samprate")
     p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--agc", choices=["auto", "funcube", "hackrf", "off"],
+                   default="auto",
+                   help="hardware AGC model: funcube gain stepping "
+                        "(funcube.c:588-620), hackrf hysteresis "
+                        "(hackrf.c:679-749), off = gains held; auto picks "
+                        "hackrf when --decimate-log2 > 0")
     p.add_argument("--seconds", type=float, default=0.0)
     args = p.parse_args(argv)
     try:

@@ -60,6 +60,8 @@ class RadioDaemon:
         )
         self.freq = parse_frequency(args.frequency) if args.frequency else 0.0
         self.commands = 0
+        # front-end analog gains, from TLV status (radio_status.c:292-307)
+        self.fe_gains = {"lna": 0, "mixer": 0, "if": 0}
         self.compactor = StatusCompactor()
         self.status_count = 0
 
@@ -246,16 +248,33 @@ class RadioDaemon:
 
     def handle_fe_status(self, data: bytes) -> None:
         """Front-end TLV status (recv_sdr_status / decode_sdr_status,
-        radio_status.c:217-318): LO1 moves retune LO2 to compensate."""
+        radio_status.c:217-318): LO1 moves retune LO2 to compensate;
+        analog gain changes fold into gain_factor = 10^(-total/20)
+        (radio_status.c:309-316) so the front-end AGC is transparent to
+        the PCM output."""
         if not data or data[0] != 0:
             return
+        gainchange = False
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
                 self.rx.update_first_lo(st.decode_double(v))
             elif t == StatusType.INPUT_SAMPRATE:
                 self.rx.sdr.samprate = int(st.decode_int(v))
             elif t == StatusType.LNA_GAIN:
-                pass  # gains fold into gain_factor; tracked when present
+                g = int(st.decode_int(v))
+                gainchange |= g != self.fe_gains["lna"]
+                self.fe_gains["lna"] = g
+            elif t == StatusType.MIXER_GAIN:
+                g = int(st.decode_int(v))
+                gainchange |= g != self.fe_gains["mixer"]
+                self.fe_gains["mixer"] = g
+            elif t == StatusType.IF_GAIN:
+                g = int(st.decode_int(v))
+                gainchange |= g != self.fe_gains["if"]
+                self.fe_gains["if"] = g
+        if gainchange:
+            total = sum(self.fe_gains.values())
+            self.rx.set_gain_factor(10.0 ** (-0.05 * total))
 
     # ---- main loops ----
 

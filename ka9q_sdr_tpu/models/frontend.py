@@ -25,6 +25,8 @@ __all__ = [
     "fs4_shift",
     "HalfBandCascade",
     "fcd_actual_frequency",
+    "FuncubeAGC",
+    "HackRFAGC",
 ]
 
 #: Estimator rates (funcube.c:65-66): DC ~1e-6/sample, power ~1 s.
@@ -124,6 +126,139 @@ class HalfBandCascade:
                     y += t * xx[j : j + 2 * n_out : 2]
             x = y
         return (x * self.atten).astype(np.complex64)
+
+
+class FuncubeAGC:
+    """FUNcube hardware AGC: step LNA/mixer/IF gains to keep the A/D in
+    range (doagc, funcube.c:588-620; thresholds AGC_upper=-15 /
+    AGC_lower=-50 dBFS, funcube.c:61-62).
+
+    One `step(power_dbfs)` call per invocation (the reference calls doagc
+    from the status thread each cycle, funcube.c:753-755).  Stage order is
+    the reference's exactly: decreasing — IF down in 10 dB steps to 0,
+    then mixer off, then LNA off; increasing — LNA on (24 dB; 7 dB above
+    420 MHz, funcube.c:737-741), then mixer on (19 dB), then IF up in
+    10 dB steps to 20.  Gains are the dB values the status stream reports.
+    """
+
+    UPPER = -15.0
+    LOWER = -50.0
+
+    def __init__(self, lna_gain: int = 24, mixer_gain: int = 19,
+                 if_gain: int = 0):
+        self.lna_gain = lna_gain
+        self.mixer_gain = mixer_gain
+        self.if_gain = if_gain
+
+    @property
+    def total_db(self) -> int:
+        return self.lna_gain + self.mixer_gain + self.if_gain
+
+    @property
+    def voltage_gain(self) -> float:
+        """Analog gain the simulated A/D path applies; the receiver undoes
+        it with gain_factor = 10^(-total/20) (radio_status.c:309-316)."""
+        return float(10.0 ** (self.total_db / 20.0))
+
+    def step(self, power_dbfs: float) -> bool:
+        """One AGC decision from the current A/D power.  Returns True if a
+        gain changed (one stage per call, as the hardware command does)."""
+        if power_dbfs > self.UPPER:
+            if self.if_gain > 0:
+                self.if_gain = max(0, self.if_gain - 10)
+            elif self.mixer_gain:
+                self.mixer_gain = 0
+            elif self.lna_gain:
+                self.lna_gain = 0
+            else:
+                return False
+            return True
+        if power_dbfs < self.LOWER:
+            if self.lna_gain == 0:
+                self.lna_gain = 24
+            elif self.mixer_gain == 0:
+                self.mixer_gain = 19
+            elif self.if_gain < 20:
+                self.if_gain = min(20, self.if_gain + 10)
+            else:
+                return False
+            return True
+        return False
+
+
+class HackRFAGC:
+    """HackRF hysteresis AGC (agc thread, hackrf.c:679-749; limits
+    Upper=-15 / Lower=-25 dBFS, hackrf.c:58-59), run at 10 Hz.
+
+    change = limit - power (int, C truncation).  Increase: LNA first
+    (antenna amp, 14 dB all-or-nothing), then mixer ("lna" API, 8 dB
+    steps to 40), then IF (VGA, 2 dB steps to 62).  Decrease: IF first,
+    then mixer, then LNA — each using the remaining change budget with
+    C integer division (truncation toward zero)."""
+
+    UPPER = -15.0
+    LOWER = -25.0
+
+    def __init__(self, lna_gain: int = 14, mixer_gain: int = 24,
+                 if_gain: int = 20):
+        self.lna_gain = lna_gain
+        self.mixer_gain = mixer_gain
+        self.if_gain = if_gain
+
+    @property
+    def total_db(self) -> int:
+        return self.lna_gain + self.mixer_gain + self.if_gain
+
+    @property
+    def voltage_gain(self) -> float:
+        return float(10.0 ** (self.total_db / 20.0))
+
+    def step(self, power_dbfs: float) -> bool:
+        if power_dbfs > self.UPPER:
+            change = int(self.UPPER - power_dbfs)   # negative
+        elif power_dbfs < self.LOWER:
+            change = int(self.LOWER - power_dbfs)   # positive
+        else:
+            return False
+        changed = False
+        if change > 0:
+            # Increase gain: LNA, then mixer, then IF (hackrf.c:698-720)
+            if change >= 14 and self.lna_gain < 14:
+                self.lna_gain = 14
+                change -= 14
+                changed = True
+            new_mixer = min(40, self.mixer_gain + 8 * (change // 8))
+            if new_mixer != self.mixer_gain:
+                change -= new_mixer - self.mixer_gain
+                self.mixer_gain = new_mixer
+                changed = True
+            new_if = min(62, self.if_gain + 2 * (change // 2))
+            if new_if != self.if_gain:
+                change -= new_if - self.if_gain
+                self.if_gain = new_if
+                changed = True
+        elif change < 0:
+            # Reduce gain: IF first, then mixer, then LNA (hackrf.c:721-745)
+            # C int division truncates toward zero: -(−change // n) here.
+            def trunc_div(a: int, n: int) -> int:
+                return -((-a) // n) if a < 0 else a // n
+
+            new_if = max(0, self.if_gain + 2 * trunc_div(change, 2))
+            if new_if != self.if_gain:
+                change -= new_if - self.if_gain
+                self.if_gain = new_if
+                changed = True
+            new_mixer = max(0, self.mixer_gain + 8 * trunc_div(change, 8))
+            if new_mixer != self.mixer_gain:
+                change -= new_mixer - self.mixer_gain
+                self.mixer_gain = new_mixer
+                changed = True
+            new_lna = max(0, self.lna_gain + 14 * trunc_div(change, 14))
+            if new_lna != self.lna_gain:
+                change -= new_lna - self.lna_gain
+                self.lna_gain = new_lna
+                changed = True
+        return changed
 
 
 def fcd_actual_frequency(f_hz: float) -> float:

@@ -5,6 +5,8 @@ import pytest
 
 from ka9q_sdr_tpu.models.frontend import (
     FrontEndCorrector,
+    FuncubeAGC,
+    HackRFAGC,
     HalfBandCascade,
     fs4_shift,
     fcd_actual_frequency,
@@ -126,3 +128,205 @@ class TestFracN:
         fs = [100e6, 100.000001e6, 100.00001e6]
         actuals = [fcd_actual_frequency(f) for f in fs]
         assert actuals == sorted(actuals)
+
+
+class TestFuncubeAGC:
+    def test_steps_up_in_reference_order(self):
+        """Increase order: LNA on (24), mixer on (19), IF +10 to 20
+        (funcube.c:605-618)."""
+        a = FuncubeAGC(lna_gain=0, mixer_gain=0, if_gain=0)
+        seen = []
+        for _ in range(6):
+            a.step(-70.0)
+            seen.append((a.lna_gain, a.mixer_gain, a.if_gain))
+        assert seen == [
+            (24, 0, 0), (24, 19, 0), (24, 19, 10), (24, 19, 20),
+            (24, 19, 20), (24, 19, 20),   # capped at IF 20
+        ]
+
+    def test_steps_down_in_reference_order(self):
+        """Decrease order: IF -10 to 0, then mixer off, then LNA off
+        (funcube.c:593-603)."""
+        a = FuncubeAGC(lna_gain=24, mixer_gain=19, if_gain=20)
+        seen = []
+        for _ in range(5):
+            a.step(-5.0)
+            seen.append((a.lna_gain, a.mixer_gain, a.if_gain))
+        assert seen == [
+            (24, 19, 10), (24, 19, 0), (24, 0, 0), (0, 0, 0), (0, 0, 0),
+        ]
+
+    def test_dead_zone(self):
+        a = FuncubeAGC()
+        assert not a.step(-30.0)    # -50 < p < -15: hold
+        assert a.total_db == 43
+
+
+class TestHackRFAGC:
+    def test_hysteresis_dead_zone(self):
+        a = HackRFAGC()
+        assert not a.step(-20.0)    # within [-25, -15]
+
+    def test_increase_budget_split(self):
+        """+20 dB deficit: mixer takes 8-dB steps first (LNA already on),
+        IF takes the 2-dB remainder (hackrf.c:698-720)."""
+        a = HackRFAGC(lna_gain=14, mixer_gain=24, if_gain=20)
+        a.step(-45.0)               # change = -25 - (-45) = +20
+        assert (a.lna_gain, a.mixer_gain, a.if_gain) == (14, 40, 24)
+
+    def test_increase_turns_lna_on_first(self):
+        a = HackRFAGC(lna_gain=0, mixer_gain=0, if_gain=0)
+        a.step(-45.0)               # change = +20: LNA 14, mixer 0, IF +6
+        assert a.lna_gain == 14
+        assert (a.mixer_gain, a.if_gain) == (0, 6)
+
+    def test_decrease_if_first(self):
+        """-11 dB excess: IF sheds 2-dB steps first (hackrf.c:721-745),
+        C truncation: change=-11 -> IF -10, mixer -8? no: remaining -1."""
+        a = HackRFAGC(lna_gain=14, mixer_gain=40, if_gain=62)
+        a.step(-4.0)                # change = -15 - (-4) = -11
+        assert a.if_gain == 62 - 10
+        assert a.mixer_gain == 40   # remaining change -1 < one 8-dB step
+        assert a.lna_gain == 14
+
+    def test_decrease_cascades_to_lna(self):
+        a = HackRFAGC(lna_gain=14, mixer_gain=8, if_gain=4)
+        a.step(25.0)                # change = -40: IF->0, mixer->0, LNA->0
+        assert (a.lna_gain, a.mixer_gain, a.if_gain) == (0, 0, 0)
+
+
+class TestGainCompensationLoop:
+    def test_pcm_level_constant_through_gain_step(self, tmp_path):
+        """End-to-end radio_status.c:309-316 semantics: the front-end AGC
+        raises a gain (reported over TLV status); the receiver's
+        gain_factor = 10^(-total/20) absorbs it, so the demod-input level
+        (diag bb_power) is unchanged by the step."""
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+        from ka9q_sdr_tpu.net import status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+
+        # cheap AM receiver in file mode (file unused; we drive rx directly)
+        rec = tmp_path / "zero.iq"
+        rec.write_bytes(b"\x00" * 4 * 3840)
+        args = build_parser().parse_args(
+            ["--iq-file", str(rec), "-f", "30k", "-m", "AM"]
+        )
+        d = RadioDaemon(args)
+
+        agc = FuncubeAGC()          # lna 24, mixer 19, if 0
+        gain0 = agc.total_db
+
+        def send_gains():
+            fe = bytearray([0])
+            st.encode_int(fe, StatusType.LNA_GAIN, agc.lna_gain)
+            st.encode_int(fe, StatusType.MIXER_GAIN, agc.mixer_gain)
+            st.encode_int(fe, StatusType.IF_GAIN, agc.if_gain)
+            st.encode_eol(fe)
+            d.handle_fe_status(bytes(fe))
+
+        def run_blocks(antenna_amp, nblocks=3):
+            """antenna signal -> simulated analog gain -> A/D -> receiver."""
+            rel = 10.0 ** ((agc.total_db - gain0) / 20.0)
+            out = None
+            for b in range(nblocks):
+                tt = (b * 3840 + np.arange(3840)) / 192000.0
+                sig = antenna_amp * rel * (
+                    1 + 0.3 * np.sin(2 * np.pi * 400 * tt)
+                ) * np.exp(2j * np.pi * 31000 * tt)
+                _, out = d.rx.process(sig.astype(np.complex64))
+            return float(np.asarray(out["bb_power"]))
+
+        send_gains()
+        amp = 10 ** (-55 / 20.0)    # quiet antenna signal
+        p_before = run_blocks(amp)
+
+        # A/D power is ~-55-ish dBFS < -50 -> the hardware AGC steps IF up
+        adc_db = 10 * np.log10(p_before / float(np.asarray(
+            d.rx.state.gain_factor)) ** 2 + 1e-30)
+        assert agc.step(-55.0)      # one doagc invocation
+        assert agc.if_gain == 10    # +10 dB
+        send_gains()                # gain change rides the status stream
+
+        p_after = run_blocks(amp)
+        # demod-input power unchanged (within filter settling): the +10 dB
+        # analog step was cancelled by gain_factor
+        assert abs(10 * np.log10(p_after / p_before)) < 0.1
+        # and gain_factor really moved by -10 dB
+        gf = float(np.asarray(d.rx.state.gain_factor))
+        assert abs(20 * np.log10(gf) + agc.total_db) < 1e-6
+
+
+class TestFrontEndDaemonAGC:
+    def test_moving_gains_ride_the_status_stream(self, tmp_path):
+        """The frontend daemon's hardware AGC reacts to a hot A/D and the
+        10 Hz TLV status stream reports the *moving* gains (funcube.c
+        doagc from the status cycle + status thread 836-930)."""
+        import select as _select
+
+        from ka9q_sdr_tpu.apps.frontend import FrontEndDaemon, main as _fe
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+        from ka9q_sdr_tpu.net import status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+        import argparse
+
+        # loud recording: ~-1.4 dBFS, way above AGC_upper = -15
+        n = 240 * 40
+        loud = (0.85 * np.ones(n) + 0.0j).astype(np.complex64)
+        pcm = np.empty(2 * n, np.int16)
+        pcm[0::2] = np.round(loud.real * 32767)
+        pcm[1::2] = 0
+        rec = tmp_path / "loud.iq"
+        rec.write_bytes(pcm.tobytes())
+
+        grp = "239.88.31.1:5004"
+        args = argparse.Namespace(
+            output=grp, frequency="146m", samprate=192000.0,
+            iq_file=str(rec), decimate_log2=0, ttl=0, agc="funcube",
+            seconds=0.0,
+        )
+        d = FrontEndDaemon(args)
+        rx_status = setup_mcast(grp, output=False, offset=2)
+
+        # merge delta-coded status packets into a running mirror
+        # (compact_packet suppresses unchanged keys, status.c:150-177)
+        mirror = {}
+        gains_seen = []
+
+        def cycle(n):
+            for _ in range(n):
+                d.corrector.process(d.next_block())
+                d.emit_status()
+                ready, _, _ = _select.select([rx_status], [], [], 1.0)
+                assert ready, "no status packet arrived"
+                data = rx_status.recv(9000)
+                items = dict(st.decode_packet(data[1:]))
+                for k in (StatusType.LNA_GAIN, StatusType.MIXER_GAIN,
+                          StatusType.IF_GAIN):
+                    if k in items:
+                        mirror[k] = int(st.decode_int(items[k]))
+                if len(mirror) == 3:
+                    gains_seen.append(dict(mirror))
+
+        cycle(4)
+        # the AGC shed gain until the A/D fell into the [-50,-15] dead
+        # zone: IF was already 0, so the mixer (19 dB) went first, taking
+        # ~-4 dBFS to ~-23 dBFS -- converged with the LNA still on
+        last = gains_seen[-1]
+        assert last[StatusType.MIXER_GAIN] == 0
+        assert last[StatusType.LNA_GAIN] == 24
+        p_db = 10 * np.log10(d.corrector.in_power)
+        assert -50.0 < p_db < -15.0, p_db
+
+        # signal fades below AGC_lower: the AGC walks the gains back up
+        # (mixer on, then IF in 10 dB steps) and each move rides a packet
+        quiet = (2e-4 * np.ones(n) + 0.0j).astype(np.complex64)
+        qpcm = np.empty(2 * n, np.int16)
+        qpcm[0::2] = np.round(quiet.real * 32767)
+        qpcm[1::2] = 0
+        qrec = tmp_path / "quiet.iq"
+        qrec.write_bytes(qpcm.tobytes())
+        d._file = open(qrec, "rb")
+        cycle(6)
+        assert gains_seen[-1][StatusType.MIXER_GAIN] == 19
+        totals = [sum(g.values()) for g in gains_seen]
+        assert len(set(totals)) >= 3, totals   # moving gains on the wire
