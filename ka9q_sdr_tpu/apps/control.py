@@ -40,6 +40,14 @@ _FLOAT_KEYS = {
     StatusType.PEAK_DEVIATION,
     StatusType.PL_TONE,
     StatusType.PLL_PHASE,
+    StatusType.DC_I_OFFSET,
+    StatusType.DC_Q_OFFSET,
+    StatusType.IQ_IMBALANCE,
+    StatusType.IQ_PHASE,
+    StatusType.NOISE_BANDWIDTH,
+    StatusType.AGC_HEADROOM,
+    StatusType.AGC_RECOVERY_RATE,
+    StatusType.AGC_HANGTIME,
 }
 _DOUBLE_KEYS = {
     StatusType.RADIO_FREQUENCY,
@@ -92,11 +100,40 @@ class StatusMirror:
                 lines.append(f"Band {e.name} [{' '.join(e.mode_names)}]")
         lo = g(StatusType.FIRST_LO_FREQUENCY)
         if lo is not None:
-            lines.append(f"LO1 {lo:,.3f} Hz")
+            lo2 = g(StatusType.SECOND_LO_FREQUENCY, 0.0)
+            lines.append(f"LO1 {lo:,.3f} Hz  LO2 {lo2:,.3f} Hz  "
+                         f"IF {-lo2:,.0f} Hz")
+        sh = g(StatusType.SHIFT_FREQUENCY)
+        if sh:
+            lines.append(f"Shift {sh:+,.1f} Hz")
         low, high = g(StatusType.LOW_EDGE), g(StatusType.HIGH_EDGE)
         if low is not None:
             lines.append(f"Filter {low:+.0f}..{high:+.0f} Hz  "
                          f"beta {g(StatusType.KAISER_BETA, 0):.1f}")
+        # option flags + AGC (the reference Options/Demodulator windows)
+        flags = []
+        for label, key in (("isb", StatusType.INDEPENDENT_SIDEBAND),
+                           ("pll", StatusType.PLL_ENABLE),
+                           ("square", StatusType.PLL_SQUARE),
+                           ("flat", StatusType.FM_FLAT)):
+            if g(key):
+                flags.append(label)
+        ch = g(StatusType.OUTPUT_CHANNELS)
+        if ch:
+            flags.append("stereo" if ch == 2 else "mono")
+        if flags:
+            lines.append("Options " + " ".join(flags))
+        if g(StatusType.AGC_RECOVERY_RATE) is not None:
+            lines.append(
+                f"AGC headroom {g(StatusType.AGC_HEADROOM, 0):.0f} dB  "
+                f"recovery {g(StatusType.AGC_RECOVERY_RATE, 0):.0f} dB/s  "
+                f"hang {g(StatusType.AGC_HANGTIME, 0):.1f} s")
+        # front-end hardware gains (radio_status.c:292-307 mirror)
+        if g(StatusType.LNA_GAIN) is not None:
+            lines.append(
+                f"FE gains LNA {g(StatusType.LNA_GAIN, 0)} "
+                f"mixer {g(StatusType.MIXER_GAIN, 0)} "
+                f"IF {g(StatusType.IF_GAIN, 0)} dB")
         for label, key, db in (
             ("IF", StatusType.IF_POWER, True),
             ("Baseband", StatusType.BASEBAND_POWER, True),
@@ -125,22 +162,68 @@ class StatusMirror:
         return "\n".join(lines)
 
 
+#: --option strings -> TLV command key/value (display.c:958-986 'o' key)
+OPTION_COMMANDS = {
+    "isb": (StatusType.INDEPENDENT_SIDEBAND, 1),
+    "!isb": (StatusType.INDEPENDENT_SIDEBAND, 0),
+    "pll": (StatusType.PLL_ENABLE, 1),
+    "!pll": (StatusType.PLL_ENABLE, 0),
+    "square": (StatusType.PLL_SQUARE, 1),
+    "!square": (StatusType.PLL_SQUARE, 0),
+    "flat": (StatusType.FM_FLAT, 1),
+    "!flat": (StatusType.FM_FLAT, 0),
+    "stereo": (StatusType.OUTPUT_CHANNELS, 2),
+    "mono": (StatusType.OUTPUT_CHANNELS, 1),
+}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="control")
     p.add_argument("group", help="receiver PCM group (status = port+2)")
     p.add_argument("--tune", help="send a retune command, e.g. 147m435")
+    p.add_argument("--mode", help="set demod mode, e.g. USB")
+    p.add_argument("--low", type=float, help="filter low edge, Hz")
+    p.add_argument("--high", type=float, help="filter high edge, Hz")
+    p.add_argument("--beta", type=float, help="Kaiser window beta")
+    p.add_argument("--shift", type=float, help="post-detection shift, Hz")
+    p.add_argument("--option", action="append", default=[],
+                   choices=sorted(OPTION_COMMANDS),
+                   help="set/clear an option flag ('!' prefix clears)")
     p.add_argument("--seconds", type=float, default=0.0)
     p.add_argument("--once", action="store_true", help="print one snapshot")
     args = p.parse_args(argv)
 
+    # Command mode: build ONE TLV packet from whatever was requested
+    pkt = bytearray([1])
+    sent = []
     if args.tune:
-        sock = setup_mcast(args.group, output=True, offset=2)
-        pkt = bytearray([1])
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
                          parse_frequency(args.tune))
+        sent.append(f"tune {parse_frequency(args.tune):,.0f} Hz")
+    if args.mode:
+        st.encode_string(pkt, StatusType.RADIO_MODE, args.mode.upper())
+        sent.append(f"mode {args.mode.upper()}")
+    if args.low is not None:
+        st.encode_float(pkt, StatusType.LOW_EDGE, args.low)
+        sent.append(f"low {args.low:+.0f}")
+    if args.high is not None:
+        st.encode_float(pkt, StatusType.HIGH_EDGE, args.high)
+        sent.append(f"high {args.high:+.0f}")
+    if args.beta is not None:
+        st.encode_float(pkt, StatusType.KAISER_BETA, args.beta)
+        sent.append(f"beta {args.beta:.1f}")
+    if args.shift is not None:
+        st.encode_double(pkt, StatusType.SHIFT_FREQUENCY, args.shift)
+        sent.append(f"shift {args.shift:+.0f}")
+    for opt in args.option:
+        key, val = OPTION_COMMANDS[opt]
+        st.encode_int(pkt, key, val)
+        sent.append(opt)
+    if sent:
         st.encode_eol(pkt)
+        sock = setup_mcast(args.group, output=True, offset=2)
         sock.send(bytes(pkt))
-        print(f"sent tune {parse_frequency(args.tune):,.0f} Hz")
+        print("sent", ", ".join(sent))
         return 0
 
     import importlib.resources as res

@@ -6,12 +6,21 @@ stubbed — here the receiver is a daemon, so the interactive UI *is* the
 network UI): TLV status in on the output group's port+2, TLV tune
 commands out on the same socket.
 
-Keys (display.c:745-986 key dispatch, simplified):
-  Up/Down        tune +/- the current step
-  Left/Right     move the tuning digit cursor (powers of 10)
+Keys (display.c:745-986 key dispatch):
+  Up/Down        adjust the selected item +/- the current step
+  Left/Right     move the digit cursor (powers of 10)
+  Tab            cycle the adjustable item: frequency, IF (LO2), filter
+                 low edge, filter high edge, shift, Kaiser beta
+                 (adjust_item, display.c:128-180)
   f              enter a frequency (parse_frequency syntax: 147m435)
   m              enter a mode name (FM, AM, USB, ...)
+  k              enter the Kaiser window beta (display.c:940-956)
+  o              set/clear an option flag: isb pll square flat stereo
+                 mono, '!' prefix disables (display.c:958-986)
+  i              recenter the IF at samprate/4 (display.c:912-914)
   q / Ctrl-C     quit
+Mouse (display.c:988-1060): click an item line to select it; wheel
+tunes the selected item up/down.
 
 Usage:
   python -m ka9q_sdr_tpu.apps.display 239.2.1.1:5004
@@ -34,15 +43,30 @@ from .control import StatusMirror
 __all__ = ["main", "TuningState"]
 
 
+#: Adjustable items in Tab order (adjust_item, display.c:137-180; the
+#: reference's items 0/1 merge into "freq", 2 "First LO" is the front
+#: end's to move, so the network UI exposes the IF=LO2 item instead).
+ITEMS = ("freq", "if", "low", "high", "shift", "beta")
+
+
 class TuningState:
-    """Digit-cursor tuning model (adjust_item, display.c:128-180)."""
+    """Digit-cursor + item-cursor tuning model (adjust_item,
+    display.c:128-180; tune.item/tune.step semantics)."""
 
     def __init__(self, step_log10: int = 3):
-        self.step_log10 = step_log10   # 10^n Hz per Up/Down
+        self.step_log10 = step_log10   # 10^n per Up/Down
+        self.item = 0                  # index into ITEMS
 
     @property
     def step(self) -> float:
         return 10.0 ** self.step_log10
+
+    @property
+    def item_name(self) -> str:
+        return ITEMS[self.item]
+
+    def next_item(self):
+        self.item = (self.item + 1) % len(ITEMS)
 
     def cursor_left(self):
         self.step_log10 = min(self.step_log10 + 1, 9)
@@ -61,22 +85,93 @@ def send_tune(sock, freq: float) -> None:
     sock.send(bytes(pkt))
 
 
+def _send_cmd(sock, *pairs) -> None:
+    """Send one TLV command packet of (key, kind, value) triples."""
+    pkt = bytearray([1])
+    for key, kind, value in pairs:
+        if kind == "double":
+            st.encode_double(pkt, key, value)
+        elif kind == "float":
+            st.encode_float(pkt, key, value)
+        elif kind == "int":
+            st.encode_int(pkt, key, int(value))
+        else:
+            st.encode_string(pkt, key, value)
+    st.encode_eol(pkt)
+    sock.send(bytes(pkt))
+
+
+def adjust_command(mirror, tuning: "TuningState", direction: int):
+    """Map an Up/Down on the selected item to a TLV command
+    (adjust_item, display.c:137-180).  Returns (key, kind, value) or
+    None when the mirror lacks the needed current value."""
+    g = mirror.get
+    d = direction * tuning.step
+    name = tuning.item_name
+    if name == "freq":
+        f = g(StatusType.RADIO_FREQUENCY)
+        return None if f is None else (
+            StatusType.RADIO_FREQUENCY, "double", f + d)
+    if name == "if":
+        # item 3: vary RF and LO2 together, LO1 fixed (display.c:151-159)
+        lo2 = g(StatusType.SECOND_LO_FREQUENCY)
+        return None if lo2 is None else (
+            StatusType.SECOND_LO_FREQUENCY, "double", lo2 - d)
+    if name == "low":
+        v = g(StatusType.LOW_EDGE)
+        return None if v is None else (StatusType.LOW_EDGE, "float", v + d)
+    if name == "high":
+        v = g(StatusType.HIGH_EDGE)
+        return None if v is None else (StatusType.HIGH_EDGE, "float", v + d)
+    if name == "shift":
+        v = g(StatusType.SHIFT_FREQUENCY, 0.0)
+        return (StatusType.SHIFT_FREQUENCY, "double", v + d)
+    if name == "beta":
+        v = g(StatusType.KAISER_BETA, 3.0)
+        return (StatusType.KAISER_BETA, "float", max(0.0, v + d))
+    return None
+
+
+#: Option strings accepted by the 'o' prompt (display.c:958-986) mapped
+#: to their TLV command keys.
+OPTION_KEYS = {
+    "isb": (StatusType.INDEPENDENT_SIDEBAND, 1),
+    "!isb": (StatusType.INDEPENDENT_SIDEBAND, 0),
+    "pll": (StatusType.PLL_ENABLE, 1),
+    "!pll": (StatusType.PLL_ENABLE, 0),
+    "square": (StatusType.PLL_SQUARE, 1),
+    "!square": (StatusType.PLL_SQUARE, 0),
+    "flat": (StatusType.FM_FLAT, 1),
+    "!flat": (StatusType.FM_FLAT, 0),
+    "stereo": (StatusType.OUTPUT_CHANNELS, 2),
+    "!mono": (StatusType.OUTPUT_CHANNELS, 2),
+    "mono": (StatusType.OUTPUT_CHANNELS, 1),
+}
+
+
+#: screen row of each adjustable item (mouse row -> item, display.c:988)
+ITEM_ROW0 = 2
+
+
 def _render(stdscr, mirror: StatusMirror, tuning: TuningState, bp, msg: str):
     import curses
 
     stdscr.erase()
     maxy, maxx = stdscr.getmaxyx()
-    freq = mirror.get(StatusType.RADIO_FREQUENCY, float("nan"))
-    mode = mirror.get(StatusType.RADIO_MODE, "?")
+    g = mirror.get
+    freq = g(StatusType.RADIO_FREQUENCY, float("nan"))
+    mode = g(StatusType.RADIO_MODE, "?")
     stdscr.addstr(0, 0, "KA9Q TPU radio", curses.A_BOLD)
+
+    def item_attr(name):
+        return (curses.A_BOLD if tuning.item_name == name
+                else curses.A_NORMAL)
+
     # Tuning window: frequency with the active digit highlighted
-    fstr = f"{freq:>16,.0f} Hz" if not math.isnan(freq) else "      ---"
-    stdscr.addstr(2, 2, "Freq: ")
+    stdscr.addstr(ITEM_ROW0, 2, "Freq:", item_attr("freq"))
     if not math.isnan(freq):
-        # find which rendered character the cursor digit is
         digits = f"{int(abs(freq)):,d}"
         target = tuning.step_log10
-        pos = len(digits)
         count = -1
         idx = len(digits)
         for i in range(len(digits) - 1, -1, -1):
@@ -87,37 +182,74 @@ def _render(stdscr, mirror: StatusMirror, tuning: TuningState, bp, msg: str):
                     break
         pad = 16 - len(digits)
         for i, c in enumerate(digits):
-            attr = curses.A_REVERSE if i == idx else curses.A_NORMAL
-            stdscr.addstr(2, 8 + pad + i, c, attr)
-        stdscr.addstr(2, 8 + 16, " Hz")
-    stdscr.addstr(2, 32, f"Mode: {mode}", curses.A_BOLD)
-    stdscr.addstr(3, 2, f"Step: {tuning.step:,.0f} Hz")
+            attr = (curses.A_REVERSE
+                    if i == idx and tuning.item_name == "freq"
+                    else curses.A_NORMAL)
+            stdscr.addstr(ITEM_ROW0, 8 + pad + i, c, attr)
+        stdscr.addstr(ITEM_ROW0, 8 + 16, " Hz")
+    stdscr.addstr(ITEM_ROW0, 32, f"Mode: {mode}", curses.A_BOLD)
+    lo2 = g(StatusType.SECOND_LO_FREQUENCY)
+    stdscr.addstr(ITEM_ROW0 + 1, 2,
+                  f"IF:   {-(lo2 or 0):>16,.0f} Hz", item_attr("if"))
+    low, high = g(StatusType.LOW_EDGE), g(StatusType.HIGH_EDGE)
+    stdscr.addstr(ITEM_ROW0 + 2, 2,
+                  f"Low:  {low if low is not None else 0:>+16,.0f} Hz",
+                  item_attr("low"))
+    stdscr.addstr(ITEM_ROW0 + 3, 2,
+                  f"High: {high if high is not None else 0:>+16,.0f} Hz",
+                  item_attr("high"))
+    stdscr.addstr(ITEM_ROW0 + 4, 2,
+                  f"Shift:{g(StatusType.SHIFT_FREQUENCY, 0.0):>+16,.0f} Hz",
+                  item_attr("shift"))
+    stdscr.addstr(ITEM_ROW0 + 5, 2,
+                  f"Beta: {g(StatusType.KAISER_BETA, 0.0):>16.1f}",
+                  item_attr("beta"))
+    # Options summary (the reference's Options window, display.c:348)
+    flags = []
+    for label, key in (("isb", StatusType.INDEPENDENT_SIDEBAND),
+                       ("pll", StatusType.PLL_ENABLE),
+                       ("square", StatusType.PLL_SQUARE),
+                       ("flat", StatusType.FM_FLAT)):
+        if g(key):
+            flags.append(label)
+    ch = g(StatusType.OUTPUT_CHANNELS)
+    if ch:
+        flags.append("stereo" if ch == 2 else "mono")
+    stdscr.addstr(ITEM_ROW0 + 1, 32, f"Opts: {' '.join(flags) or '-'}")
+    stdscr.addstr(ITEM_ROW0 + 2, 32,
+                  f"Step: {tuning.step:,.0f} [{tuning.item_name}]")
+    # Info window: bandplan lookup (display.c:338-363, bandplan.c:41-51)
     if bp and not math.isnan(freq):
         e = bp.lookup(freq)
         if e:
-            stdscr.addstr(3, 32, f"{e.name} [{' '.join(e.mode_names)}]")
+            stdscr.addstr(ITEM_ROW0 + 3, 32,
+                          f"{e.name} [{' '.join(e.mode_names)}]")
     # spectrum pane: 128-bin sparkline from the status stream
-    spec = mirror.get(StatusType.SPECTRUM_128)
+    spec = g(StatusType.SPECTRUM_128)
     if spec and maxx > 70:
         import numpy as _np
 
         bins = _np.frombuffer(spec, _np.uint8).astype(float)
-        lo, hi = bins.min(), max(bins.max(), bins.min() + 1)
+        lo_, hi_ = bins.min(), max(bins.max(), bins.min() + 1)
         glyphs = " \u2581\u2582\u2583\u2584\u2585\u2586\u2587\u2588"
         w = min(len(bins), maxx - 6)
         line = "".join(
-            glyphs[int((bins[i] - lo) / (hi - lo) * 8) if bins[i] > lo else 0]
+            glyphs[int((bins[i] - lo_) / (hi_ - lo_) * 8) if bins[i] > lo_
+                   else 0]
             for i in range(w)
         )
-        stdscr.addstr(4, 2, line)
-    row = 6
+        stdscr.addstr(ITEM_ROW0 + 7, 2, line)
+    row = ITEM_ROW0 + 9
     for line in mirror.render().split("\n")[1:]:
         if row >= maxy - 3:
             break
         stdscr.addstr(row, 2, line[: maxx - 3])
         row += 1
-    stdscr.addstr(maxy - 2, 2,
-                  "Up/Dn tune  Left/Right digit  f freq  m mode  q quit")
+    stdscr.addstr(
+        maxy - 2, 2,
+        "Up/Dn adj  L/R digit  Tab item  f freq  m mode  k beta  o opt  "
+        "i IF  q quit"[: maxx - 3],
+    )
     if msg:
         stdscr.addstr(maxy - 1, 2, msg[: maxx - 3], curses.A_DIM)
     stdscr.refresh()
@@ -142,6 +274,10 @@ def run_ui(stdscr, args):
 
     curses.curs_set(0)
     stdscr.timeout(100)
+    curses.mousemask(
+        curses.BUTTON1_CLICKED | curses.BUTTON4_PRESSED
+        | getattr(curses, "BUTTON5_PRESSED", 0)
+    )
     status_sock = setup_mcast(args.group, output=False, offset=2)
     status_sock.setblocking(False)
     cmd_sock = setup_mcast(args.group, output=True, offset=2)
@@ -156,6 +292,15 @@ def run_ui(stdscr, args):
     except Exception:
         bp = None
     msg = ""
+
+    def adjust(direction):
+        cmd = adjust_command(mirror, tuning, direction)
+        if cmd is not None:
+            _send_cmd(cmd_sock, cmd)
+            return f"{tuning.item_name} {'+' if direction > 0 else '-'}" \
+                   f"{tuning.step:,.0f}"
+        return "no value yet"
+
     while True:
         try:
             while True:
@@ -166,17 +311,31 @@ def run_ui(stdscr, args):
         ch = stdscr.getch()
         if ch == -1:
             continue
-        freq = mirror.get(StatusType.RADIO_FREQUENCY)
         if ch in (ord("q"), 3):
             return
-        elif ch == curses.KEY_UP and freq is not None:
-            send_tune(cmd_sock, tuning.adjust(freq, +1))
-        elif ch == curses.KEY_DOWN and freq is not None:
-            send_tune(cmd_sock, tuning.adjust(freq, -1))
+        elif ch == curses.KEY_UP:
+            msg = adjust(+1)
+        elif ch == curses.KEY_DOWN:
+            msg = adjust(-1)
         elif ch == curses.KEY_LEFT:
             tuning.cursor_left()
         elif ch == curses.KEY_RIGHT:
             tuning.cursor_right()
+        elif ch == ord("\t"):
+            tuning.next_item()
+        elif ch == curses.KEY_MOUSE:
+            # click selects the item row; wheel adjusts (display.c:988-1060)
+            try:
+                _, mx, my, _, bstate = curses.getmouse()
+            except curses.error:
+                continue
+            if bstate & curses.BUTTON1_CLICKED:
+                if ITEM_ROW0 <= my < ITEM_ROW0 + len(ITEMS):
+                    tuning.item = my - ITEM_ROW0
+            elif bstate & curses.BUTTON4_PRESSED:
+                msg = adjust(+1)
+            elif bstate & getattr(curses, "BUTTON5_PRESSED", 0):
+                msg = adjust(-1)
         elif ch == ord("f"):
             s = _prompt(stdscr, "Frequency")
             f = parse_frequency(s)
@@ -186,11 +345,34 @@ def run_ui(stdscr, args):
         elif ch == ord("m"):
             s = _prompt(stdscr, "Mode").upper()
             if s:
-                pkt = bytearray([1])
-                st.encode_string(pkt, StatusType.RADIO_MODE, s)
-                st.encode_eol(pkt)
-                cmd_sock.send(bytes(pkt))
+                _send_cmd(cmd_sock, (StatusType.RADIO_MODE, "string", s))
                 msg = f"sent mode {s}"
+        elif ch == ord("k"):
+            s = _prompt(stdscr, "Kaiser beta")
+            try:
+                b = float(s)
+            except ValueError:
+                continue
+            if 0 <= b < 100:
+                _send_cmd(cmd_sock, (StatusType.KAISER_BETA, "float", b))
+                msg = f"sent beta {b:.1f}"
+        elif ch == ord("o"):
+            s = _prompt(
+                stdscr, "Option [isb pll square flat stereo mono], ! clears"
+            ).lower()
+            if s in OPTION_KEYS:
+                key, val = OPTION_KEYS[s]
+                _send_cmd(cmd_sock, (key, "int", val))
+                msg = f"sent {s}"
+            else:
+                msg = f"unknown option {s!r}"
+        elif ch == ord("i"):
+            # recenter IF at +samprate/4 (display.c:912-914)
+            sr = mirror.get(StatusType.INPUT_SAMPRATE)
+            if sr:
+                _send_cmd(cmd_sock,
+                          (StatusType.SECOND_LO_FREQUENCY, "double", sr / 4))
+                msg = "IF recentered"
 
 
 def main(argv=None) -> int:

@@ -177,9 +177,10 @@ class RadioDaemon:
         st.encode_int(pkt, StatusType.OUTPUT_PACKETS, self.pcm.state.packets)
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY, self.rx.tune_freq)
         st.encode_double(pkt, StatusType.FIRST_LO_FREQUENCY, self.rx.sdr.frequency)
+        st.encode_double(pkt, StatusType.SECOND_LO_FREQUENCY, self.rx.second_lo)
         st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.args.blocksize)
         st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.args.impulse_len)
-        st.encode_float(pkt, StatusType.KAISER_BETA, self.args.kaiser_beta)
+        st.encode_float(pkt, StatusType.KAISER_BETA, self.rx.cfg.kaiser_beta)
         st.encode_float(pkt, StatusType.LOW_EDGE, self.rx.cfg.mode.low)
         st.encode_float(pkt, StatusType.HIGH_EDGE, self.rx.cfg.mode.high)
         st.encode_string(pkt, StatusType.RADIO_MODE, self.mode)
@@ -188,6 +189,15 @@ class RadioDaemon:
         st.encode_int(pkt, StatusType.OUTPUT_CHANNELS,
                       1 if self.rx.cfg.mode.demod != "LINEAR"
                       else self.rx.cfg.mode.channels)
+        md = self.rx.cfg.mode
+        st.encode_double(pkt, StatusType.SHIFT_FREQUENCY, md.shift)
+        st.encode_int(pkt, StatusType.INDEPENDENT_SIDEBAND, int(md.isb))
+        st.encode_int(pkt, StatusType.PLL_ENABLE, int(md.pll))
+        st.encode_int(pkt, StatusType.PLL_SQUARE, int(md.square))
+        st.encode_int(pkt, StatusType.FM_FLAT, int(md.flat))
+        st.encode_float(pkt, StatusType.AGC_HEADROOM, self.rx.cfg.headroom_db)
+        st.encode_float(pkt, StatusType.AGC_RECOVERY_RATE, md.recovery_rate)
+        st.encode_float(pkt, StatusType.AGC_HANGTIME, md.hangtime)
         if "if_power" in diag:
             st.encode_float(pkt, StatusType.IF_POWER, float(diag["if_power"]))
         if "bb_power" in diag:
@@ -226,15 +236,29 @@ class RadioDaemon:
             pass
 
     def handle_command(self, data: bytes) -> None:
-        """Command packet: leading byte 1 (radio_status.c:232-235)."""
+        """Command packet: leading byte 1 (radio_status.c:232-235).
+
+        Every parameter the reference edits live in its in-process UI
+        (display.c:128-180 adjust_item, 860-986 key dispatch) is
+        commandable here over TLV: frequency, explicit LO2 (the IF item),
+        filter edges, Kaiser beta, post-detection shift, mode, and the
+        option flags (isb/pll/square/flat/channels) plus AGC parameters."""
         if not data or data[0] != 1:
             return
         self.commands += 1
+        filt: dict = {}
+        opts: dict = {}
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
                 f = st.decode_double(v)
                 lo1 = self.rx.set_freq(f)
                 self.freq = f
+                if lo1 is not None:
+                    self._send_lo1_command(lo1)
+            elif t == StatusType.SECOND_LO_FREQUENCY:
+                # explicit IF placement (display.c item 3 / 'i' recenter):
+                # keep RF, move LO2 (and LO1 with it if needed)
+                lo1 = self.rx.set_freq(self.rx.tune_freq, st.decode_double(v))
                 if lo1 is not None:
                     self._send_lo1_command(lo1)
             elif t == StatusType.RADIO_MODE:
@@ -245,6 +269,34 @@ class RadioDaemon:
                     self.mode = name
                 except KeyError:
                     pass
+            elif t == StatusType.LOW_EDGE:
+                filt["low"] = st.decode_float(v)
+            elif t == StatusType.HIGH_EDGE:
+                filt["high"] = st.decode_float(v)
+            elif t == StatusType.KAISER_BETA:
+                filt["kaiser_beta"] = st.decode_float(v)
+            elif t == StatusType.SHIFT_FREQUENCY:
+                self.rx.set_shift(st.decode_double(v))
+            elif t == StatusType.INDEPENDENT_SIDEBAND:
+                opts["isb"] = bool(st.decode_int(v))
+            elif t == StatusType.PLL_ENABLE:
+                opts["pll"] = bool(st.decode_int(v))
+            elif t == StatusType.PLL_SQUARE:
+                opts["square"] = bool(st.decode_int(v))
+            elif t == StatusType.FM_FLAT:
+                opts["flat"] = bool(st.decode_int(v))
+            elif t == StatusType.OUTPUT_CHANNELS:
+                opts["channels"] = max(1, min(2, int(st.decode_int(v))))
+            elif t == StatusType.AGC_HEADROOM:
+                opts["headroom_db"] = st.decode_float(v)
+            elif t == StatusType.AGC_RECOVERY_RATE:
+                opts["recovery_rate"] = st.decode_float(v)
+            elif t == StatusType.AGC_HANGTIME:
+                opts["hangtime"] = st.decode_float(v)
+        if filt:
+            self.rx.set_filter(**filt)
+        if opts:
+            self.rx.set_options(**opts)
 
     def handle_fe_status(self, data: bytes) -> None:
         """Front-end TLV status (recv_sdr_status / decode_sdr_status,

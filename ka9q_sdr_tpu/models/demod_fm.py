@@ -163,8 +163,12 @@ def _ffill_before(values, mask, init):
     return forward_fill(v, m, init)
 
 
-def _pl_measure(cfg: FMConfig, ring: jax.Array) -> jax.Array:
-    """Peak-pick the PL spectrum (fm.c:254-276)."""
+def _pl_measure(cfg: FMConfig, ring: jax.Array, prev: jax.Array) -> jax.Array:
+    """Peak-pick the PL spectrum (fm.c:254-276).
+
+    A strong peak outside 67-255 Hz leaves plfreq at its previous value
+    (fm.c:270-276 only assigns inside the range check); a weak peak
+    (<1% of total energy) clears it to NaN."""
     spec = jnp.fft.rfft(ring, axis=-1)
     energy = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     energy = energy[..., 1 : PL_FFT_SIZE // 2]  # skip DC (fm.c:260)
@@ -173,8 +177,9 @@ def _pl_measure(cfg: FMConfig, ring: jax.Array) -> jax.Array:
     totenergy = jnp.sum(energy, axis=-1)
     pl_samprate = cfg.dsamprate / PL_DECIMATE
     f = peakbin.astype(jnp.float32) * (pl_samprate / PL_FFT_SIZE)
-    good = (peakenergy > 0.01 * totenergy) & (f > 67.0) & (f < 255.0)
-    return jnp.where(good, f, jnp.nan)
+    strong = peakenergy > 0.01 * totenergy
+    in_range = (f > 67.0) & (f < 255.0)
+    return jnp.where(strong, jnp.where(in_range, f, prev), jnp.nan)
 
 
 def fm_demod(
@@ -271,12 +276,14 @@ def fm_demod(
         if pl_counter.ndim == 0:
             plfreq = jax.lax.cond(
                 do_fft,
-                lambda r: _pl_measure(cfg, r),
+                lambda r: _pl_measure(cfg, r, plfreq),
                 lambda r: plfreq,
                 pl_ring,
             )
         else:
-            plfreq = jnp.where(do_fft, _pl_measure(cfg, pl_ring), plfreq)
+            plfreq = jnp.where(
+                do_fft, _pl_measure(cfg, pl_ring, plfreq), plfreq
+            )
         pl_counter = jnp.where(do_fft, 0, pl_counter)
 
     new_state = FMState(

@@ -89,10 +89,12 @@ class LinearConfig(NamedTuple):
             # (c) caps the ring at a sane minimum size.
             search_max = (2.0 if kw.get("square", False) else 1.0) * SEARCH_HIGH
             d = 1
+            # decimated rate >= 5x the search band keeps the search window
+            # within 40% of the decimated Nyquist
             while (
                 d * 2 <= 64
                 and block_len % (d * 2) == 0
-                and dsamprate / (d * 2) >= 2.5 * search_max
+                and dsamprate / (d * 2) >= 5.0 * search_max
             ):
                 d *= 2
             kw["acq_decim"] = d
@@ -335,11 +337,12 @@ def linear_demod(
     new_agc, gains = agc_block(state.agc, amplitude, cfg.agc)
     out = baseband * gains
 
-    # Post-AGC frequency shift (linear.c:283-289)
-    shift = state.shift
-    if cfg.shift_freq != 0.0:
-        shift, lo = osc_block(shift, baseband.shape[-1])
-        out = out * lo
+    # Post-AGC frequency shift (linear.c:283-289).  Applied
+    # unconditionally: at freq 0 the oscillator is exactly 1+0j (bit-exact
+    # no-op) and a live set_shift (radio.c:304-316) can retune it at any
+    # time without a recompile.
+    shift, lo = osc_block(state.shift, baseband.shape[-1])
+    out = out * lo
 
     n = baseband.shape[-1]
     bb_power = (signal + noise) / (2.0 * n)

@@ -64,6 +64,9 @@ class ReceiverConfig(NamedTuple):
     n0_mask: np.ndarray     # passband mask for compute_n0
     n0_alpha: float         # n0 smoothing (fm.c:82 = .01, am/linear = .001)
     demod_cfg: object       # FMConfig | AMConfig | LinearConfig
+    kaiser_beta: float = 3.0     # current window beta (display.c 'k')
+    headroom_db: float = -15.0   # AGC headroom (modes.c)
+    enable_pl: bool = True       # FM PL tone chain
 
     @property
     def dsamprate(self) -> float:
@@ -166,6 +169,9 @@ def make_receiver_config(
         n0_mask=mask,
         n0_alpha=n0_alpha,
         demod_cfg=demod_cfg,
+        kaiser_beta=kaiser_beta,
+        headroom_db=headroom_db,
+        enable_pl=enable_pl,
     )
 
 
@@ -191,7 +197,11 @@ def receiver_init(cfg: ReceiverConfig, batch_shape=()) -> ReceiverState:
 
 
 def receiver_step(
-    cfg: ReceiverConfig, state: ReceiverState, iq_block: jax.Array
+    cfg: ReceiverConfig,
+    state: ReceiverState,
+    iq_block: jax.Array,
+    response: jax.Array | None = None,
+    n0_mask: jax.Array | None = None,
 ) -> tuple[ReceiverState, jax.Array, dict]:
     """One L-sample block through the full receiver (the hot loop,
     radio.c:106-147 + the demod thread body).
@@ -199,6 +209,12 @@ def receiver_step(
     iq_block: (..., L) complex64 at the input rate, already scaled to
     +/-1.0 full scale (the int16/int8 scaling of radio.c:113-119 happens
     in the host feeder or via `scale_iq`).
+
+    response / n0_mask override the config's baked-in filter response and
+    passband mask — passed as runtime arrays so a live set_filter edit
+    (display.c:161-180 / set_filter, filter.c:500-546) hot-swaps the
+    response without recompiling the program, exactly as the reference
+    swaps the response pointer under a mutex (filter.c:537-543).
     """
     samp = iq_block * state.gain_factor[..., None]
     # block_energy * 0.5 / in_cnt (two components per sample, radio.c:143-144)
@@ -214,14 +230,18 @@ def receiver_step(
 
     overlap, fdomain = master_execute(cfg.master, state.overlap, samp)
 
-    n0_raw = compute_n0(fdomain, jnp.asarray(cfg.n0_mask), cfg.samprate)
+    if n0_mask is None:
+        n0_mask = jnp.asarray(cfg.n0_mask)
+    n0_raw = compute_n0(fdomain, n0_mask, cfg.samprate)
     n0 = jnp.where(
         jnp.isnan(state.n0),
         n0_raw,
         state.n0 + cfg.n0_alpha * (n0_raw - state.n0),
     )
 
-    baseband = slave_execute(cfg.slave, fdomain, jnp.asarray(cfg.response))
+    if response is None:
+        response = jnp.asarray(cfg.response)
+    baseband = slave_execute(cfg.slave, fdomain, response)
 
     if cfg.mode.demod == "FM":
         dstate, audio, diag = fm_demod(cfg.demod_cfg, state.demod, baseband)
@@ -316,12 +336,16 @@ class SDRStatus:
 
 def receiver_step_packed(cfg: ReceiverConfig, template):
     """receiver_step with a real-dtype-only jit boundary (the target TPU
-    runtime cannot transfer complex64 host<->device; see ops.packing)."""
+    runtime cannot transfer complex64 host<->device; see ops.packing).
+    The filter response and n0 mask are runtime arguments so set_filter
+    hot-swaps them without recompiling."""
     from ..ops.packing import tree_c2r, tree_r2c, r2c
 
-    def packed(state_r, x_r):
+    def packed(state_r, x_r, resp_r, n0_mask):
         state = tree_r2c(state_r, template)
-        new_state, audio, diag = receiver_step(cfg, state, r2c(x_r))
+        new_state, audio, diag = receiver_step(
+            cfg, state, r2c(x_r), response=r2c(resp_r), n0_mask=n0_mask
+        )
         return tree_c2r(new_state), audio, diag
 
     return packed
@@ -347,13 +371,23 @@ class Receiver:
             )
         self.sdr = SDRStatus(samprate=cfg.samprate)
         self.tune_freq = 0.0
+        self.second_lo = 0.0   # LO2 Hz, mirrored for status emission
         self._step = jax.jit(receiver_step_packed(cfg, self._template))
+        self._load_filter_args()
+
+    def _load_filter_args(self) -> None:
+        """Pack the current response/mask into the runtime filter args."""
+        r = np.asarray(self.cfg.response)
+        self._resp_r = np.stack([r.real, r.imag], axis=-1).astype(np.float32)
+        self._n0_mask = np.asarray(self.cfg.n0_mask)
 
     def process(self, iq_block):
         """Run one L-sample complex block; returns (audio, diag)."""
         x = np.asarray(iq_block)
         x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
-        self.state, audio, diag = self._step(self.state, x_r)
+        self.state, audio, diag = self._step(
+            self.state, x_r, self._resp_r, self._n0_mask
+        )
         return audio, diag
 
     # ---- control plane (radio.c:200-316) ----
@@ -369,6 +403,7 @@ class Receiver:
 
     def set_second_lo(self, second_lo: float) -> None:
         """set_second_LO (radio.c:290-301); phase is preserved."""
+        self.second_lo = float(second_lo)
         f = 0.0 if second_lo == 0 else second_lo / self.cfg.samprate
         self.state = self.state._replace(lo2=set_osc(self.state.lo2, f))
 
@@ -414,21 +449,98 @@ class Receiver:
             gain_factor=jnp.float32(g)
         )
 
+    def set_filter(
+        self,
+        low: float | None = None,
+        high: float | None = None,
+        kaiser_beta: float | None = None,
+    ) -> None:
+        """Live filter edit (display.c:161-180 items 4/5/7 + 'k' key →
+        set_filter, filter.c:500-546): redesign the slave response and the
+        n0 passband mask and hot-swap them into the running program — no
+        recompile, matching the reference's response-pointer swap under
+        mutex (filter.c:537-543).  The demod config (e.g. the FM gain
+        constant, fm.c:86) is NOT recomputed, exactly as in the reference
+        where set_filter leaves the running demod thread's constants."""
+        from dataclasses import replace as dc_replace
+
+        mode = self.cfg.mode
+        low = mode.low if low is None else float(low)
+        high = mode.high if high is None else float(high)
+        if high < low:
+            low, high = high, low
+        beta = (self.cfg.kaiser_beta if kaiser_beta is None
+                else max(0.0, float(kaiser_beta)))
+        dsr = self.cfg.dsamprate
+        response = set_filter_response(
+            self.cfg.slave, low / dsr, high / dsr, beta
+        )
+        mask = passband_mask(self.cfg.master.N, self.cfg.samprate, low, high)
+        self.cfg = self.cfg._replace(
+            mode=dc_replace(mode, low=low, high=high),
+            response=response,
+            n0_mask=mask,
+            kaiser_beta=beta,
+        )
+        self._load_filter_args()
+
+    def set_shift(self, shift_hz: float) -> None:
+        """Post-detection frequency shift (set_shift, radio.c:304-316):
+        retune the linear demod's shift oscillator without phase jump.
+        No-op for AM/FM (the reference's shift applies to linear only)."""
+        if self.cfg.mode.demod != "LINEAR":
+            return
+        from dataclasses import replace as dc_replace
+
+        new_shift = set_osc(
+            self.state.demod.shift, shift_hz / self.cfg.dsamprate
+        )
+        self.state = self.state._replace(
+            demod=self.state.demod._replace(shift=new_shift)
+        )
+        self.cfg = self.cfg._replace(
+            mode=dc_replace(self.cfg.mode, shift=float(shift_hz))
+        )
+
+    def set_options(self, **changes) -> None:
+        """Option-flag edits (display.c:958-986 'o' key: isb, pll, square,
+        flat, mono/stereo; plus AGC recovery_rate/hangtime from the mode
+        table).  These change program structure, so the config and jitted
+        step rebuild (the reference respawns the demod thread for isb via
+        the out_type copy at linear.c:116-120); tuning state carries over.
+
+        Accepted keys: isb, pll, square, flat, channels (1/2),
+        recovery_rate (dB/s), hangtime (s), headroom_db (dB)."""
+        from dataclasses import replace as dc_replace
+
+        headroom = changes.pop("headroom_db", self.cfg.headroom_db)
+        if changes.get("square"):
+            changes["pll"] = True   # square implies pll (display.c:966-969)
+        mode = dc_replace(self.cfg.mode, **changes)
+        self._rebuild(mode, headroom_db=headroom)
+
     def set_mode(self, mode: str) -> None:
         """Runtime mode change (set_mode, radio.c:322-374): the reference
         kills and respawns the demod thread; here the config and jitted
         program rebuild.  Tuning oscillators keep their phase; demod state
         resets (as a fresh thread's would)."""
+        if isinstance(mode, str):
+            mode = DEFAULT_MODES[mode.upper()]
+        self._rebuild(mode, headroom_db=self.cfg.headroom_db)
+
+    def _rebuild(self, mode: ModeDef, headroom_db: float) -> None:
         from ..ops.packing import tree_c2r_np
 
         old_packed = self.state
-        old_tmpl = self._template
         cfg = make_receiver_config(
             mode,
             samprate=self.cfg.samprate,
             out_rate=int(self.cfg.dsamprate),
             L=self.cfg.master.L,
             M=self.cfg.master.M,
+            kaiser_beta=self.cfg.kaiser_beta,
+            headroom_db=headroom_db,
+            enable_pl=self.cfg.enable_pl,
         )
         self.cfg = cfg
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -444,6 +556,9 @@ class Receiver:
             gain_factor=old_packed.gain_factor,
         )
         self._step = jax.jit(receiver_step_packed(cfg, self._template))
+        if hasattr(self, "_scan"):
+            del self._scan
+        self._load_filter_args()
 
     def process_offline(self, blocks_i16: np.ndarray) -> np.ndarray:
         """Batch-demodulate (nblocks, L, 2) int16 I/Q in one device

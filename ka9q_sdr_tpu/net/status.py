@@ -86,6 +86,14 @@ class StatusType(enum.IntEnum):
     # --- extensions beyond the reference's enum (documented here; the
     # reference protocol ignores unknown keys by design) ---
     SPECTRUM_128 = 100   # 128 x uint8, dB + 120, bins -fs/2..+fs/2
+    # Live option editing (the reference edits these in-process via the
+    # display 'o'/'k' keys, display.c:958-986; as a network daemon they
+    # need command keys).  int 0/1 unless noted.
+    PLL_ENABLE = 101     # linear: enable carrier tracking
+    FM_FLAT = 102        # FM: bypass de-emphasis
+    AGC_HEADROOM = 103   # float, dB (negative)
+    AGC_RECOVERY_RATE = 104   # float, dB/s
+    AGC_HANGTIME = 105   # float, seconds
 
 
 def encode_int(buf: bytearray, type_: int, x: int) -> int:

@@ -185,7 +185,8 @@ class GoldenLinear:
 class GoldenReceiver:
     """proc_samples + demod thread, single channel (radio.c:41-147)."""
 
-    def __init__(self, mode, samprate=192000, L=3840, M=4353, freq=0.0):
+    def __init__(self, mode, samprate=192000, L=3840, M=4353, freq=0.0,
+                 enable_pl=False):
         from ka9q_sdr_tpu.utils.modes import DEFAULT_MODES
 
         md = DEFAULT_MODES[mode.upper()]
@@ -202,8 +203,14 @@ class GoldenReceiver:
             self.demod = GoldenAM(dsr, recovery_db_s=md.recovery_rate,
                                   hangtime_s=md.hangtime)
         elif md.demod == "FM":
-            self.demod = GoldenFM(dsr, md.low, md.high, L // decimate,
-                                  (M - 1) // decimate + 1)
+            fm_cls = GoldenFMPL if enable_pl else GoldenFM
+            self.demod = fm_cls(dsr, md.low, md.high, L // decimate,
+                                (M - 1) // decimate + 1)
+        elif md.pll:
+            self.demod = GoldenLinearPLL(
+                dsr, L // decimate, square=md.square,
+                recovery_db_s=md.recovery_rate, hangtime_s=md.hangtime,
+            )
         else:
             self.demod = GoldenLinear(dsr, recovery_db_s=md.recovery_rate,
                                       hangtime_s=md.hangtime)
@@ -270,3 +277,192 @@ class GoldenLinearShift(GoldenLinear):
                 out[n, 0] = F32(v.real)
                 out[n, 1] = F32(v.imag)
         return out
+
+
+class GoldenLinearPLL(GoldenLinear):
+    """demod_linear WITH carrier tracking (linear.c:114-246): the full-rate
+    64k circular acquisition buffer + FFT peak search (178-201), lock
+    hysteresis (158-170), coarse+fine double-precision phasor NCOs stepped
+    per sample (207-218, osc.c:39-51), once-per-block lag-lead loop
+    (226-245), then the per-sample AGC / mono output of the base class.
+
+    ramprate is 0 in the reference (linear.c:67 "temp disable"), so no
+    acquisition sweep.
+    """
+
+    def __init__(self, dsamprate, block_len, square=False, loop_bw=1.0,
+                 lock_time=1.0, **kw):
+        super().__init__(dsamprate, **kw)
+        self.samptime = 1.0 / dsamprate
+        self.blocktime = self.samptime * block_len
+        self.square = square
+        self.fftsize = 1 << 16                       # linear.c:43
+        self.binsize = 1.0 / (self.fftsize * self.samptime)
+        mult = 2 if square else 1
+        self.lowlimit = round(mult * -300.0 / self.binsize)   # linear.c:53-56
+        self.highlimit = round(mult * 300.0 / self.binsize)
+        natfreq = loop_bw * 2 * np.pi                # linear.c:59-65
+        tau1 = 2 * np.pi / (natfreq * natfreq)
+        self.integrator_gain = 1.0 / tau1
+        tau2 = 2 * (1 / np.sqrt(2.0)) / natfreq
+        self.prop_gain = tau2 / tau1
+        self.lock_limit = round(lock_time / self.samptime)
+        self.snrthresh = 10 ** (3 / 10.0)            # linear.c:42,46
+        self.fftin = np.zeros(self.fftsize, np.complex64)
+        self.fft_ptr = 0
+        self.fft_samples = 0
+        self.lock_count = 0
+        self.pll_lock = False
+        self.integrator = 0.0
+        self.delta_f = 0.0
+        self.snr = 0.0                               # linear.c:71
+        # double-precision phasors (struct osc, osc.c)
+        self.coarse_phasor = 1.0 + 0.0j
+        self.coarse_step = 1.0 + 0.0j
+        self.fine_phasor = 1.0 + 0.0j
+        self.fine_step = 1.0 + 0.0j
+        self.cphase = 0.0
+        self.foffset = float("nan")
+        self.lock_trace = []     # (delta_f, pll_lock, cphase) per block
+
+    def _pll_block(self, bb):
+        n = len(bb)
+        # circular acquisition buffer (linear.c:131-153)
+        feed = (bb * bb) if self.square else bb
+        for v in feed.astype(np.complex64):
+            self.fftin[self.fft_ptr] = v
+            self.fft_ptr = (self.fft_ptr + 1) % self.fftsize
+        self.fft_samples = min(self.fft_samples + n, self.fftsize)
+
+        # lock detector w/ hysteresis on the previous block's SNR
+        # (linear.c:158-170)
+        if self.snr < self.snrthresh:
+            self.lock_count -= n
+        else:
+            self.lock_count += n
+        if self.lock_count >= self.lock_limit:
+            self.lock_count = self.lock_limit
+            self.pll_lock = True
+        if self.lock_count <= -self.lock_limit:
+            self.lock_count = -self.lock_limit
+            self.pll_lock = False
+
+        # reacquisition (linear.c:173-201)
+        if not self.pll_lock and self.fft_samples > self.fftsize // 2:
+            self.fft_samples = 0
+            spec = np.fft.fft(self.fftin)
+            maxbin, maxenergy = 0, 0.0
+            for b in range(self.lowlimit, self.highlimit + 1):
+                e = float(abs(spec[b]) ** 2)   # negative b wraps
+                if e > maxenergy:
+                    maxenergy, maxbin = e, b
+            if maxenergy > 0:
+                ndf = self.binsize * maxbin
+                if self.square:
+                    ndf /= 2
+                if ndf != self.delta_f:
+                    self.delta_f = ndf
+                    self.integrator = 0.0
+                    self.coarse_step = np.exp(
+                        -2j * np.pi * self.samptime * self.delta_f
+                    )
+
+        # apply coarse+fine, gather mean phase (linear.c:207-224)
+        out = np.empty(n, np.complex64)
+        accum = 0.0 + 0.0j
+        for i in range(n):
+            self.coarse_phasor *= self.coarse_step
+            self.fine_phasor *= self.fine_step
+            v = bb[i] * self.coarse_phasor * self.fine_phasor
+            out[i] = v
+            accum += (v * v) if self.square else v
+        # renorm (osc.c:53-59 runs every 16384 steps; per block is finer
+        # but changes nothing beyond float noise)
+        self.coarse_phasor /= abs(self.coarse_phasor)
+        self.fine_phasor /= abs(self.fine_phasor)
+        cphase = float(np.angle(accum))
+        if self.square:
+            cphase /= 2
+
+        # lag-lead loop (linear.c:226-245); ramp == 0
+        self.integrator += cphase * self.blocktime
+        feedback = (self.integrator_gain * self.integrator
+                    + self.prop_gain * cphase)
+        self.fine_step = np.exp(-2j * np.pi * feedback * self.samptime)
+        if np.isnan(self.foffset):
+            self.foffset = feedback + self.delta_f
+        else:
+            self.foffset += 0.001 * (feedback + self.delta_f - self.foffset)
+        self.cphase = cphase
+        self.lock_trace.append((self.delta_f, self.pll_lock, cphase))
+        return out
+
+    def demod(self, bb):
+        bb = self._pll_block(np.asarray(bb, np.complex64))
+        # signal/noise sums feed NEXT block's lock detector
+        # (linear.c:248-258, 304-309)
+        signal = float(np.sum(bb.real.astype(np.float64) ** 2))
+        noise = float(np.sum(bb.imag.astype(np.float64) ** 2))
+        if noise != 0:
+            self.snr = max(0.0, signal / noise - 1.0)
+        out = super().demod(bb)
+        return out
+
+
+class GoldenFMPL(GoldenFM):
+    """GoldenFM + the PL tone measurement thread (pltask, fm.c:189-277):
+    <300 Hz REAL slave decimating the audio master by 32, a 16k-point real
+    FFT over a 10.9 s window every 512 PL samples, peak bin must hold >1%
+    of total energy and land in 67-255 Hz."""
+
+    PL_DECIMATE = 32
+
+    def __init__(self, *a, beta=3.0, **kw):
+        super().__init__(*a, beta=beta, **kw)
+        am = self.audio_master
+        AN, AL = am.N, am.L
+        PL_N = AN // self.PL_DECIMATE
+        PL_L = AL // self.PL_DECIMATE
+        PL_M = PL_N - PL_L + 1
+        j = np.arange(PL_N // 2 + 1)
+        f = j * self.dsamprate / AN            # relative to input rate
+        presp = np.where((f > 0) & (f < 300.0), 1.0, 0.0).astype(complex)
+        presp = window_rfilter(PL_L, PL_M, presp, 2.0).astype(np.complex64)
+        self.pl_slave = GoldenSlave(am, presp, self.PL_DECIMATE,
+                                    out_real=True)
+        self.pl_fft_size = (1 << 19) // self.PL_DECIMATE
+        self.pl_input = np.zeros(self.pl_fft_size, np.float32)
+        self.pl_ptr = 0
+        self.last_fft = 0
+        self.plfreq = float("nan")
+        self.pl_trace = []    # plfreq after each block
+
+    def demod(self, bb):
+        audio = super().demod(bb)
+        # super() ran audio_master.execute; its spectrum is in buf: redo
+        # the master fd for the pl slave from the same discriminator block
+        fd = np.fft.rfft(self.audio_master.buf).astype(np.complex64)
+        pl = self.pl_slave.execute(fd)
+        # circular fill (fm.c:237-251)
+        for v in pl:
+            self.pl_input[self.pl_ptr] = v
+            self.pl_ptr = (self.pl_ptr + 1) % self.pl_fft_size
+        self.last_fft += len(pl)
+        if self.last_fft >= 512:               # fm.c:251-253
+            self.last_fft = 0
+            spec = np.fft.rfft(self.pl_input)
+            energy = np.abs(spec) ** 2
+            tot = float(np.sum(energy[1 : self.pl_fft_size // 2]))
+            peakbin = int(np.argmax(energy[1 : self.pl_fft_size // 2])) + 1
+            peak = float(energy[peakbin])
+            pl_samprate = self.dsamprate / self.PL_DECIMATE
+            if peakbin > 0 and peak > 0.01 * tot:
+                f = peakbin * pl_samprate / self.pl_fft_size
+                if 67.0 < f < 255.0:
+                    self.plfreq = f
+                # out-of-range strong peak: plfreq KEEPS its old value
+                # (fm.c:270-276 has no inner else)
+            else:
+                self.plfreq = float("nan")
+        self.pl_trace.append(self.plfreq)
+        return audio

@@ -419,3 +419,148 @@ class TestFaultTolerance:
         # (negative seq step, multicast.c:326-329)
         assert asm.rtp_state.dupes == 2
         assert asm.rtp_state.drops == 1
+
+
+class TestLiveParameterEditing:
+    """Every parameter the reference edits live in display.c (adjust_item
+    128-180, key dispatch 860-986) is editable over the TLV protocol
+    (VERDICT r1 item 7)."""
+
+    def _daemon(self, am_recording, mode="USB"):
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+        args = build_parser().parse_args(
+            ["--iq-file", am_recording, "-f", "30k", "-m", mode]
+        )
+        return RadioDaemon(args)
+
+    @staticmethod
+    def _cmd(d, *triples):
+        pkt = bytearray([1])
+        for key, kind, val in triples:
+            getattr(st, f"encode_{kind}")(pkt, key, val)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+
+    def test_filter_edges_and_beta_over_tlv(self, am_recording):
+        d = self._daemon(am_recording)
+        step0 = d.rx._step   # jitted program object
+        self._cmd(d,
+                  (StatusType.LOW_EDGE, "float", 200.0),
+                  (StatusType.HIGH_EDGE, "float", 1500.0),
+                  (StatusType.KAISER_BETA, "float", 5.0))
+        assert d.rx.cfg.mode.low == 200.0
+        assert d.rx.cfg.mode.high == 1500.0
+        assert d.rx.cfg.kaiser_beta == 5.0
+        # hot swap: the jitted program was NOT rebuilt (filter.c:537-543
+        # pointer-swap semantics)
+        assert d.rx._step is step0
+        # and the new response really narrows the passband: a 2.5 kHz
+        # audio tone (in the old 3 kHz USB band) is now attenuated
+        fs, Lb = 192000, 3840
+        d.rx.set_freq(30000.0)
+        outs = []
+        for b in range(8):
+            tt = (b * Lb + np.arange(Lb)) / fs
+            iq = (0.2 * np.exp(2j * np.pi * (30000 + 1000) * tt)
+                  + 0.2 * np.exp(2j * np.pi * (30000 + 2500) * tt))
+            audio, _ = d.rx.process(iq.astype(np.complex64))
+            outs.append(np.asarray(audio))
+        a = np.concatenate(outs)[4 * 960:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        f = np.fft.rfftfreq(len(a), 1 / 48000)
+        p1k = spec[np.argmin(np.abs(f - 1000))]
+        p25 = spec[np.argmin(np.abs(f - 2500))]
+        assert p1k > 30 * p25, (p1k, p25)   # >30 dB down
+
+    def test_shift_over_tlv(self, am_recording):
+        d = self._daemon(am_recording)
+        d.rx.set_freq(30000.0)
+        self._cmd(d, (StatusType.SHIFT_FREQUENCY, "double", 400.0))
+        assert d.rx.cfg.mode.shift == 400.0
+        fs, Lb = 192000, 3840
+        outs = []
+        for b in range(8):
+            tt = (b * Lb + np.arange(Lb)) / fs
+            iq = 0.2 * np.exp(2j * np.pi * (30000 + 1000) * tt)
+            audio, _ = d.rx.process(iq.astype(np.complex64))
+            outs.append(np.asarray(audio))
+        a = np.concatenate(outs)[4 * 960:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        f = np.fft.rfftfreq(len(a), 1 / 48000)
+        # 1 kHz audio shifted +400 Hz -> 1.4 kHz
+        peak = f[np.argmax(spec[5:]) + 5]
+        assert abs(peak - 1400.0) < 15.0, peak
+
+    def test_option_flags_over_tlv(self, am_recording):
+        from ka9q_sdr_tpu.ops.fftfilt import FilterType
+
+        d = self._daemon(am_recording)
+        self._cmd(d, (StatusType.INDEPENDENT_SIDEBAND, "int", 1))
+        assert d.rx.cfg.mode.isb
+        assert d.rx.cfg.slave.out_type is FilterType.CROSS_CONJ
+        self._cmd(d, (StatusType.PLL_SQUARE, "int", 1))
+        assert d.rx.cfg.mode.square and d.rx.cfg.mode.pll  # square => pll
+        self._cmd(d, (StatusType.OUTPUT_CHANNELS, "int", 1))
+        assert d.rx.cfg.mode.channels == 1
+        self._cmd(d, (StatusType.AGC_RECOVERY_RATE, "float", 20.0),
+                  (StatusType.AGC_HANGTIME, "float", 0.5))
+        assert d.rx.cfg.mode.recovery_rate == 20.0
+        assert d.rx.cfg.mode.hangtime == 0.5
+
+    def test_second_lo_command_moves_if(self, am_recording):
+        d = self._daemon(am_recording)
+        d.rx.set_freq(30000.0)
+        lo2_before = d.rx.second_lo
+        self._cmd(d, (StatusType.SECOND_LO_FREQUENCY, "double", 48000.0))
+        assert d.rx.second_lo == 48000.0
+        assert d.rx.tune_freq == 30000.0   # RF preserved (display.c:151-159)
+        assert d.rx.second_lo != lo2_before
+
+    def test_status_reports_live_values(self, am_recording):
+        d = self._daemon(am_recording)
+        self._cmd(d,
+                  (StatusType.LOW_EDGE, "float", 150.0),
+                  (StatusType.KAISER_BETA, "float", 7.0))
+        # emit_status encodes from the live config
+        sent = []
+        d.status_sock = type("S", (), {"send": lambda self, b: sent.append(b)})()
+        d.emit_status({})
+        items = dict(st.decode_packet(sent[0][1:]))
+        assert st.decode_float(items[StatusType.LOW_EDGE]) == 150.0
+        assert st.decode_float(items[StatusType.KAISER_BETA]) == 7.0
+
+
+class TestDisplayAdjust:
+    def test_adjust_command_maps_items(self):
+        from ka9q_sdr_tpu.apps.display import TuningState, adjust_command
+        from ka9q_sdr_tpu.apps.control import StatusMirror
+
+        pkt = bytearray([0])
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 147435000.0)
+        st.encode_double(pkt, StatusType.SECOND_LO_FREQUENCY, -48000.0)
+        st.encode_float(pkt, StatusType.LOW_EDGE, -5000.0)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, 5000.0)
+        st.encode_float(pkt, StatusType.KAISER_BETA, 3.0)
+        st.encode_eol(pkt)
+        m = StatusMirror()
+        m.update(bytes(pkt))
+        t = TuningState(step_log10=2)   # 100 Hz step
+        # freq item
+        key, kind, val = adjust_command(m, t, +1)
+        assert key == StatusType.RADIO_FREQUENCY and val == 147435100.0
+        t.next_item()   # "if"
+        key, kind, val = adjust_command(m, t, +1)
+        assert key == StatusType.SECOND_LO_FREQUENCY
+        assert val == -48100.0          # IF +100 = LO2 -100
+        t.next_item()   # "low"
+        key, _, val = adjust_command(m, t, -1)
+        assert key == StatusType.LOW_EDGE and val == -5100.0
+        t.next_item()   # "high"
+        t.next_item()   # "shift"
+        key, _, val = adjust_command(m, t, +1)
+        assert key == StatusType.SHIFT_FREQUENCY and val == 100.0
+        t.next_item()   # "beta"
+        t.step_log10 = 0
+        key, _, val = adjust_command(m, t, +1)
+        assert key == StatusType.KAISER_BETA and val == 4.0

@@ -254,3 +254,127 @@ class TestGoldenSquelchTransitions:
         assert err < -60.0
         # and the squelch really did close: a silent stretch exists
         assert np.any(np.abs(np.concatenate([a])) == 0.0)
+
+
+class TestGoldenPLLTrajectory:
+    def test_cam_pll_acquisition_and_lock_parity(self):
+        """The full PLL trajectory vs the C semantics (linear.c:129-246):
+        acquisition must fire on the same block with the same delta_f
+        (the decimated acquisition ring preserves the 0.73 Hz bin), the
+        lock hysteresis must flip on the same block, and the locked-loop
+        PCM must match at the float32 level."""
+        mode, ferr = "CAM", 20.0
+        rx = Receiver(make_receiver_config(mode, samprate=FS))
+        rx.set_freq(30000.0)
+        gold = GoldenReceiver(mode, samprate=FS, freq=30000.0)
+
+        ours_lock, gold_lock = [], []
+        ours_df, gold_df = [], []
+        ours_a, gold_a = [], []
+        # hysteresis walk: ~35 blocks to acquire, then lock_count climbs
+        # from -33600 to +48000 at 960/block -> lock near block 120
+        nblocks = 160
+        for b in range(nblocks):
+            tt = (b * L + np.arange(L)) / FS
+            iq = (0.3 * (1 + 0.3 * np.sin(2 * np.pi * 400 * tt))
+                  * np.exp(2j * np.pi * (30000 + ferr) * tt)
+                  ).astype(np.complex64)
+            audio, diag = rx.process(iq)
+            ga = gold.process(iq)
+            ours_a.append(np.asarray(audio))
+            gold_a.append(ga)
+            ours_lock.append(bool(np.asarray(diag["pll_lock"])))
+            gold_lock.append(gold.demod.pll_lock)
+            ours_df.append(float(np.asarray(rx.state.demod.delta_f)))
+            gold_df.append(gold.demod.delta_f)
+
+        # acquisition: same first nonzero block, same delta_f value
+        first_ours = next(i for i, d in enumerate(ours_df) if d != 0.0)
+        first_gold = next(i for i, d in enumerate(gold_df) if d != 0.0)
+        assert first_ours == first_gold, (first_ours, first_gold)
+        assert abs(ours_df[-1] - gold_df[-1]) < 1e-3, (
+            ours_df[-1], gold_df[-1])
+        assert abs(ours_df[-1] - ferr) < 1.0   # within ~a bin of truth
+
+        # lock flips on the same block
+        assert ours_lock == gold_lock, (
+            ours_lock.index(True) if True in ours_lock else None,
+            gold_lock.index(True) if True in gold_lock else None,
+        )
+        assert ours_lock[-1]
+
+        # locked-loop PCM parity (skip the acquisition transient)
+        a = np.concatenate(ours_a)[80 * 960:]
+        g = np.concatenate(gold_a)[80 * 960:]
+        err = rms_dbfs(a - g)
+        sig = rms_dbfs(g)
+        print(f"CAM PLL: signal {sig:.1f} dBFS, error {err:.1f} dBFS")
+        assert err < -60.0
+
+    def test_dsb_squaring_loop_parity(self):
+        """DSB: the squaring loop (linear.c:135-144,190-199) — suppressed
+        carrier regenerated at 2f, delta_f halved, cphase halved."""
+        mode = "DSB"
+        ferr = 15.0
+        rx = Receiver(make_receiver_config(mode, samprate=FS))
+        rx.set_freq(30000.0)
+        gold = GoldenReceiver(mode, samprate=FS, freq=30000.0)
+
+        ours_df, gold_df, locks = [], [], []
+        for b in range(160):
+            tt = (b * L + np.arange(L)) / FS
+            # suppressed-carrier DSB: audio tone x carrier
+            iq = (0.4 * np.sin(2 * np.pi * 400 * tt)
+                  * np.exp(2j * np.pi * (30000 + ferr) * tt)
+                  ).astype(np.complex64)
+            audio, diag = rx.process(iq)
+            gold.process(iq)
+            ours_df.append(float(np.asarray(rx.state.demod.delta_f)))
+            gold_df.append(gold.demod.delta_f)
+            locks.append((bool(np.asarray(diag["pll_lock"])),
+                          gold.demod.pll_lock))
+        first_ours = next((i for i, d in enumerate(ours_df) if d != 0.0), -1)
+        first_gold = next((i for i, d in enumerate(gold_df) if d != 0.0), -1)
+        assert first_ours == first_gold
+        assert abs(ours_df[-1] - gold_df[-1]) < 1e-3
+        assert abs(ours_df[-1] - ferr) < 1.0
+        assert locks[-1] == (True, True), locks[-1]
+
+
+class TestGoldenPLTone:
+    def test_pl_tone_measurement_parity(self):
+        """pltask parity (fm.c:201-277): the PL slave chain + 16k FFT must
+        report the same tone frequency on the same measurement blocks as
+        the C semantics, including the NaN pattern before the window has
+        enough energy."""
+        pl_hz = 123.0
+        rx = Receiver(make_receiver_config("FM", samprate=FS, enable_pl=True))
+        rx.set_freq(20000.0)
+        gold = GoldenReceiver("FM", samprate=FS, freq=20000.0, enable_pl=True)
+
+        phase = {"p": 0.0}
+        ours_trace, gold_trace = [], []
+        for b in range(60):
+            tt = (b * L + np.arange(L)) / FS
+            # NBFM: voice tone at 1 kHz (3 kHz dev) + PL at 123 Hz (500 Hz dev)
+            inst = (3000 * np.cos(2 * np.pi * 1000 * tt)
+                    + 500 * np.cos(2 * np.pi * pl_hz * tt))
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            iq = (0.5 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+                  ).astype(np.complex64)
+            _, diag = rx.process(iq)
+            gold.process(iq)
+            ours_trace.append(float(np.asarray(diag["plfreq"])))
+            gold_trace.append(gold.demod.plfreq)
+
+        ours = np.array(ours_trace)
+        theirs = np.array(gold_trace)
+        # same NaN pattern (measurement cadence + 1%-energy gate)
+        assert np.array_equal(np.isnan(ours), np.isnan(theirs)), (
+            ours_trace, gold_trace)
+        m = ~np.isnan(ours)
+        assert m.any(), "PL tone never detected"
+        np.testing.assert_allclose(ours[m], theirs[m], atol=1e-3)
+        # and the measured tone is the true one within a 0.0916 Hz bin
+        assert abs(ours[m][-1] - pl_hz) < 0.1
