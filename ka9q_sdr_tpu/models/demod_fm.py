@@ -271,19 +271,17 @@ def fm_demod(
         pl_ring = jnp.concatenate([pl_ring[..., k:], pl_samples], axis=-1)
         pl_counter = pl_counter + k
         do_fft = pl_counter >= PL_FFT_INTERVAL
-        # Scalar-state path uses cond to skip the 16k FFT most blocks;
-        # batched states (vmap) turn this into a select, which is fine.
-        if pl_counter.ndim == 0:
-            plfreq = jax.lax.cond(
-                do_fft,
-                lambda r: _pl_measure(cfg, r, plfreq),
-                lambda r: plfreq,
-                pl_ring,
-            )
-        else:
-            plfreq = jnp.where(
-                do_fft, _pl_measure(cfg, pl_ring, plfreq), plfreq
-            )
+        # The 16k FFT runs 1 block in ~17 (fm.c:251-253).  Gate it with a
+        # SCALAR cond — jnp.any over the batch — so the whole batched FFT
+        # is skipped on the other 16 blocks instead of computed-and-
+        # discarded by a select; per-channel do_fft still picks which
+        # channels take the fresh measurement.
+        plfreq = jax.lax.cond(
+            jnp.any(do_fft),
+            lambda r: jnp.where(do_fft, _pl_measure(cfg, r, plfreq), plfreq),
+            lambda r: plfreq,
+            pl_ring,
+        )
         pl_counter = jnp.where(do_fft, 0, pl_counter)
 
     new_state = FMState(

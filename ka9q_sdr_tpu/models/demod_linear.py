@@ -255,19 +255,25 @@ def _pll_block(cfg: LinearConfig, state: LinearState, baseband: jax.Array):
         jnp.where(lock_count <= -lock_limit, False, state.pll_lock),
     )
 
-    # Reacquisition (linear.c:173-201)
+    # Reacquisition (linear.c:173-201).  The search FFT is needed at most
+    # 1 block in ring_size/(2n) and never once locked; gate the whole
+    # (possibly batched) FFT behind a SCALAR any() cond so steady-state
+    # locked banks skip it entirely.
     do_fft = (~pll_lock) & (fft_samples > cfg.ring_size // 2)
-    if state.integrator.ndim == 0:
-        new_df, found = jax.lax.cond(
-            do_fft,
-            lambda r: _acquire(cfg, r),
-            lambda r: (state.delta_f, jnp.array(False)),
-            ring,
+
+    def _run_acquire(r):
+        acq_df, acq_found = _acquire(cfg, r)
+        return (
+            jnp.where(do_fft, acq_df, state.delta_f),
+            do_fft & acq_found,
         )
-    else:
-        acq_df, acq_found = _acquire(cfg, ring)
-        new_df = jnp.where(do_fft, acq_df, state.delta_f)
-        found = do_fft & acq_found
+
+    new_df, found = jax.lax.cond(
+        jnp.any(do_fft),
+        _run_acquire,
+        lambda r: (state.delta_f, jnp.zeros_like(do_fft)),
+        ring,
+    )
     changed = found & (new_df != state.delta_f)
     delta_f = jnp.where(changed, new_df, state.delta_f)
     integrator = jnp.where(changed, 0.0, state.integrator)
