@@ -49,21 +49,47 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
         audio, diag = bank.process_i16(x_i)
     jax.block_until_ready(audio)
 
-    # Throughput: async dispatch (the production feeder pipelines blocks;
-    # syncing each block would time the tunnel round-trip, not the chip).
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        audio, diag = bank.process_i16(x_i)
-    jax.block_until_ready(audio)
-    dt = time.perf_counter() - t0
-    sps = iters * L / dt                      # wideband samples/sec achieved
+    # Measurement rules for the remote (axon) runtime, both learned the
+    # hard way:
+    # - block_until_ready does NOT wait for remote completion; only a
+    #   host FETCH does.  Every timed region ends with a tiny fetch.
+    # - the tunnel's upload path degrades after a few hundred MB of
+    #   cumulative transfers, so inputs stay DEVICE-RESIDENT (the live
+    #   network path has its own measured number: the native feeder +
+    #   TPU radio sustains exactly realtime, see CLAUDE.md).
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    x_dev = jax.device_put(x_i)
+    xs_dev = jax.device_put(np.ascontiguousarray(
+        np.broadcast_to(x_i, (chunk,) + x_i.shape)))
 
-    # Latency: per-block sync, separate (shorter) loop
+    def fetch(a):
+        return np.asarray(a.ravel()[:2])
+
+    # Throughput: scanned path (`chunk` blocks per device program,
+    # bank_scan_packed_i16) timed by SLOPE between a short and a long
+    # run so the constant ~50 ms fetch latency cancels.
+    fetch(bank.process_scan_i16(xs_dev))      # warm the scan program
+
+    def run_scan(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            audio = bank.process_scan_i16(xs_dev)
+        fetch(audio)
+        return time.perf_counter() - t0
+
+    lo_it = max(2, iters // 8)
+    t_lo = run_scan(lo_it)
+    t_hi = run_scan(iters)
+    dt_blk = (t_hi - t_lo) / ((iters - lo_it) * chunk)
+    sps = L / dt_blk                          # wideband samples/sec achieved
+
+    # Block round trip: one per-block program + tiny fetch, per call
+    # (what a live consumer pays end to end over the tunnel)
     lat = []
     for _ in range(max(10, iters)):
         t1 = time.perf_counter()
-        audio, diag = bank.process_i16(x_i)
-        jax.block_until_ready(audio)
+        audio, diag = bank.process_i16(x_dev)
+        fetch(audio)
         lat.append(time.perf_counter() - t1)
     lat = np.sort(lat)
     p50 = float(lat[len(lat) // 2]) * 1e3
@@ -102,7 +128,7 @@ def main():
     print(
         f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank: "
         f"{sps/1e6:.2f} Msps achieved ({sps/samprate:.2f}x realtime), "
-        f"block {L}, latency p50 {p50:.2f} ms / p99 {p99:.2f} ms",
+        f"block {L}, round-trip p50 {p50:.2f} ms / p99 {p99:.2f} ms",
         file=sys.stderr,
     )
 
@@ -116,7 +142,7 @@ def main():
             f"# CAM(PLL) {pll_channels} ch x {samprate/1e6:.3f} Msps bank: "
             f"{sps2/1e6:.2f} Msps achieved ({sps2/samprate:.2f}x realtime), "
             f"{pll_channels * sps2 / 1e6:.0f} ch*Msps, "
-            f"latency p50 {p50b:.2f} ms / p99 {p99b:.2f} ms",
+            f"round-trip p50 {p50b:.2f} ms / p99 {p99b:.2f} ms",
             file=sys.stderr,
         )
 

@@ -150,19 +150,6 @@ def fm_init(cfg: FMConfig, batch_shape=()) -> FMState:
     )
 
 
-def _ffill_before(values, mask, init):
-    """out[n] = values[k] for the last k < n with mask[k], else init.
-    (Strictly-previous forward fill: the discriminator pairs each sample
-    with the previous strong one, fm.c:131-132.)"""
-    init_col = jnp.broadcast_to(
-        jnp.asarray(init, values.dtype)[..., None], values.shape[:-1] + (1,)
-    )
-    v = jnp.concatenate([init_col, values[..., :-1]], axis=-1)
-    m = jnp.concatenate(
-        [jnp.ones(mask.shape[:-1] + (1,), bool), mask[..., :-1]], axis=-1)
-    return forward_fill(v, m, init)
-
-
 def _pl_measure(cfg: FMConfig, ring: jax.Array, prev: jax.Array) -> jax.Array:
     """Peak-pick the PL spectrum (fm.c:254-276).
 
@@ -217,21 +204,32 @@ def fm_demod(
     fresh = snr_below < 1   # fully open: update foffset/pdeviation (fm.c:146)
 
     # Threshold extension + discriminator (fm.c:118-144), parallel form.
+    # Two forward-fills total: the "strictly previous strong sample" each
+    # position pairs with is just the fill lagged one sample, so the
+    # shifted variants reuse the same scan output instead of re-scanning.
     min_ampl = (BLANK_RATIO**2) * avg_amp * avg_amp
     strong = sampsq > min_ampl[..., None]
-    prev_conj = _ffill_before(jnp.conj(baseband), strong, state.disc_state)
+
+    ff_conj = forward_fill(jnp.conj(baseband), strong, state.disc_state)
+    init_c = jnp.broadcast_to(
+        jnp.asarray(state.disc_state, ff_conj.dtype)[..., None],
+        ff_conj.shape[:-1] + (1,),
+    )
+    prev_conj = jnp.concatenate([init_c, ff_conj[..., :-1]], axis=-1)
     disc = jnp.angle(baseband * prev_conj)
-    filled = forward_fill(disc, strong, state.lastaudio)
-    weak_fill = _ffill_before(disc, strong, state.lastaudio)
+
+    ff_disc = forward_fill(disc, strong, state.lastaudio)
+    init_a = jnp.broadcast_to(
+        jnp.asarray(state.lastaudio, disc.dtype)[..., None],
+        disc.shape[:-1] + (1,),
+    )
+    weak_fill = jnp.concatenate([init_a, ff_disc[..., :-1]], axis=-1)
     samples_open = jnp.where(strong, disc, weak_fill)
 
-    any_strong = jnp.any(strong, axis=-1)
-    new_disc_state = jnp.where(
-        any_strong,
-        forward_fill(jnp.conj(baseband), strong, state.disc_state)[..., -1],
-        state.disc_state,
-    )
-    new_lastaudio = filled[..., -1]
+    # fill-at-end IS the carried state (equals the init when no strong
+    # sample occurred, so no any() select is needed)
+    new_disc_state = ff_conj[..., -1]
+    new_lastaudio = ff_disc[..., -1]
 
     samples = jnp.where(open_[..., None], samples_open, 0.0)
     new_disc_state = jnp.where(open_, new_disc_state, jnp.complex64(0.0))

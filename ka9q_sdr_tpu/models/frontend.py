@@ -261,34 +261,48 @@ class HackRFAGC:
         return changed
 
 
-def fcd_actual_frequency(f_hz: float) -> float:
-    """Model of the FUNcube Pro+ Mirics MSi001 fractional-N synthesizer:
-    the tuner quantises the LO to the fractional-N step, so the *actual*
-    frequency differs from the request (fcd_actual, funcube.c:526-584).
-    The software LO2 absorbs the difference (radio_status.c:311-316).
+#: MSi001 band table: (upper_freq, freq_offset, lo_divider)
+#: (funcube.c:536-556; low bands upconvert through a 130 MHz IF).
+_MSI001_BANDS = (
+    (4_000_000, 130_000_000, 16),
+    (8_000_000, 130_000_000, 16),
+    (16_000_000, 130_000_000, 16),
+    (32_000_000, 130_000_000, 16),
+    (75_000_000, 130_000_000, 16),
+    (125_000_000, 0, 32),
+    (142_000_000, 0, 16),
+    (148_000_000, 0, 16),
+    (300_000_000, 0, 16),
+    (430_000_000, 0, 4),
+    (440_000_000, 0, 4),
+    (875_000_000, 0, 4),
+    (0xFFFFFFFF, 0, 2),
+)
 
-    Simplified faithful model: 4-bit integer + 20-bit fraction of the
-    reference divided per-band, giving sub-Hz steps at VHF; we reproduce
-    the quantisation granularity rather than the full register math.
-    """
+
+def fcd_actual_frequency(f_hz: float) -> float:
+    """The FUNcube Pro+ Mirics MSi001 fractional-N synthesizer's *actual*
+    tuned frequency for an integer request (fcd_actual, funcube.c:526-584
+    — Howard Long's firmware formula, register-exact): the requested
+    frequency (plus the band's 130 MHz low-band IF offset) times the
+    band's LO divider is decomposed against 4 x 26 MHz into an integer
+    divisor, a 12-bit FRAC and a 12-bit AFC register with threshold 3250;
+    the quantised result is what the hardware tunes.  The software LO2
+    absorbs the difference (radio_status.c:311-316)."""
     if f_hz <= 0:
         return f_hz
-    # band-dependent LO divider (funcube.c:536-556 table, simplified)
-    if f_hz < 60e6:
-        lodiv = 16
-    elif f_hz < 120e6:
-        lodiv = 32
-    elif f_hz < 250e6:
-        lodiv = 16
-    elif f_hz < 420e6:
-        lodiv = 4
-    elif f_hz < 1000e6:
-        lodiv = 2
-    else:
-        lodiv = 1
-    fref = 24e6
-    fout = f_hz + 106.25e6 if f_hz < 60e6 else f_hz  # low bands use an IF
-    step = fref / (lodiv * (1 << 20))   # thousandths-of-division granularity
-    n = round(fout * lodiv / fref * (1 << 20))
-    actual_out = n * step
-    return actual_out - 106.25e6 if f_hz < 60e6 else actual_out
+    u32_freq = int(round(f_hz)) & 0xFFFFFFFF
+    thresh = 3250
+    fref = 26_000_000
+    for upper, freq_off, lodiv in _MSI001_BANDS:
+        if u32_freq < upper:
+            break
+    fsynth = (u32_freq + freq_off) * lodiv
+    u32_int = fsynth // (fref * 4)                       # integer divisor
+    frac4096 = ((fsynth << 12) * thresh) // (fref * 4) - (u32_int << 12) * thresh
+    frac = frac4096 >> 12                                # 12-bit FRAC
+    afc = frac4096 - (frac << 12)                        # 12-bit AFC
+    f_act = (4.0 * fref / lodiv) * (
+        u32_int + (frac * 4096.0 + afc) / (thresh * 4096.0)
+    ) - freq_off
+    return f_act

@@ -34,6 +34,7 @@ __all__ = [
     "SlaveSpec",
     "master_init",
     "master_execute",
+    "fft_fourstep",
     "slave_execute",
     "slave_bin_indices",
     "noise_gain",
@@ -107,6 +108,36 @@ def master_init(spec: MasterSpec, dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((spec.M - 1,), dtype=cdtype)
 
 
+#: Use the four-step decomposition for 1D complex FFTs at or above this
+#: size: XLA's monolithic large-1D FFT is ~6x slower on TPU than P x Q
+#: batched FFTs + twiddle (measured 7.3 ms -> 1.1 ms at N = 2^20).
+FOURSTEP_MIN = 1 << 16
+
+
+def fft_fourstep(z: jax.Array) -> jax.Array:
+    """Natural-order forward FFT via the four-step (Bailey) decomposition.
+
+    N = P*Q with P,Q ~ sqrt(N): Q-point FFTs over columns, twiddle
+    W_N^(k1*p), P-point FFTs over rows, transpose back to natural order.
+    Twiddle phases use an exact integer mod N before the float multiply —
+    a raw f32 k1*p/N phase reaches thousands of radians and would add
+    ~-68 dB spurs; reduced first, the error is ~2^-23 of a cycle."""
+    N = z.shape[-1]
+    P = 1 << (int(np.log2(N)) // 2)
+    if N % P:
+        return jnp.fft.fft(z, axis=-1)
+    Q = N // P
+    zz = z.reshape(z.shape[:-1] + (Q, P))
+    C = jnp.fft.fft(zz, axis=-2)                       # Q-pt FFT per column
+    k1 = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    p = jnp.arange(P, dtype=jnp.int32)[None, :]
+    frac = ((k1 * p) % N).astype(jnp.float32) * jnp.float32(1.0 / N)
+    ang = (-2.0 * np.pi) * frac
+    tw = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    D = jnp.fft.fft(C * tw, axis=-1)                   # D[k1,k2] = X[k1+Q*k2]
+    return jnp.swapaxes(D, -1, -2).reshape(z.shape[:-1] + (N,))
+
+
 def master_execute(
     spec: MasterSpec, overlap: jax.Array, block: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
@@ -114,13 +145,16 @@ def master_execute(
 
     Concatenates the carried M-1 overlap with the new L-sample block,
     forward-FFTs the N samples, and returns (new_overlap, fdomain).
-    The FFT is unnormalised-forward, matching FFTW_FORWARD.
+    The FFT is unnormalised-forward, matching FFTW_FORWARD.  Large
+    complex masters use the four-step decomposition (see fft_fourstep).
     """
     if block.shape[-1] != spec.L:
         raise ValueError(f"block length {block.shape[-1]} != L = {spec.L}")
     buf = jnp.concatenate([overlap, block], axis=-1)
     if spec.in_type is FilterType.REAL:
         fdomain = jnp.fft.rfft(buf, axis=-1)
+    elif spec.N >= FOURSTEP_MIN:
+        fdomain = fft_fourstep(buf)
     else:
         fdomain = jnp.fft.fft(buf, axis=-1)
     new_overlap = buf[..., spec.L:]

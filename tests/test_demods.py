@@ -443,3 +443,85 @@ class TestBatchedPLL:
         assert np.asarray(diag["pll_lock"]).all()
         df = np.asarray(bank.state.demod.delta_f)
         assert abs(df[0] - 12.0) < 2.0 and abs(df[1] + 20.0) < 2.0
+
+
+class TestBankScan:
+    def test_scan_matches_stepwise(self):
+        """bank_scan_packed_i16 (k blocks per device program) carries the
+        exact same state trajectory as k sequential bank_step calls."""
+        import jax
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config, ChannelBank, bank_step_packed,
+        )
+
+        fs, Lw, Mw = 1.536e6, 3840, 4353
+        cfg = make_bank_config(4, "FM", samprate=fs, L=Lw, M=Mw)
+        usable = 0.9 * fs
+        freqs = list(np.linspace(-usable / 2, usable / 2, 4, endpoint=False))
+        bank = ChannelBank(cfg, freqs)
+        ref = ChannelBank(cfg, freqs)
+
+        rng = np.random.default_rng(11)
+        k = 5
+        tt = np.arange(k * Lw) / fs
+        x = (0.01 * (rng.standard_normal(k * Lw)
+                     + 1j * rng.standard_normal(k * Lw))
+             + 0.3 * np.exp(2j * np.pi * freqs[1] * tt)).astype(np.complex64)
+        xi = np.empty((k, Lw, 2), np.int16)
+        xi[..., 0] = np.clip(x.real * 32767, -32768, 32767).reshape(k, Lw)
+        xi[..., 1] = np.clip(x.imag * 32767, -32768, 32767).reshape(k, Lw)
+
+        scanned = np.asarray(bank.process_scan_i16(xi))
+        stepped = []
+        for b in range(k):
+            audio, _ = ref.process_i16(xi[b])
+            stepped.append(np.asarray(audio))
+        np.testing.assert_allclose(
+            scanned, np.stack(stepped), atol=1e-6, rtol=1e-5
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(bank.state),
+                        jax.tree_util.tree_leaves(ref.state)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                atol=1e-6, rtol=1e-5,
+            )
+
+
+class TestBankISB:
+    def test_bank_isb_matches_single_receiver(self):
+        """CISB in the bank applies the CROSS_CONJ combine
+        (filter.c:239-249) exactly like the single-channel receiver."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+        from ka9q_sdr_tpu.models.receiver import (
+            Receiver, make_receiver_config,
+        )
+
+        fs, Lw, Mw = 1.536e6, 30720, 34817
+        cfg = make_bank_config(2, "CISB", samprate=fs, L=Lw, M=Mw)
+        # exact master bin: the frequency-domain path is then identical
+        # to the time-domain LO2 (cf. TestBankVsReceiver)
+        f0 = 8533 * fs / (Lw + Mw - 1)
+        bank = ChannelBank(cfg, [f0, -150e3])
+        rx = Receiver(make_receiver_config("CISB", samprate=int(fs),
+                                           L=Lw, M=Mw))
+        rx.set_freq(f0)
+
+        rng = np.random.default_rng(8)
+        outs_b, outs_r = [], []
+        for b in range(4):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            # LSB tone + USB tone around the channel center
+            iq = (0.2 * np.exp(2j * np.pi * (f0 - 1000) * tt)
+                  + 0.1 * np.exp(2j * np.pi * (f0 + 2000) * tt)
+                  + 0.001 * (rng.standard_normal(Lw)
+                             + 1j * rng.standard_normal(Lw))
+                  ).astype(np.complex64)
+            ab, _ = bank.process(iq)
+            ar, _ = rx.process(iq)
+            outs_b.append(np.asarray(ab)[0])
+            outs_r.append(np.asarray(ar))
+        b_ = np.concatenate(outs_b)[960:]
+        r_ = np.concatenate(outs_r)[960:]
+        err = np.sqrt(np.mean((b_ - r_) ** 2))
+        sig = np.sqrt(np.mean(r_ ** 2))
+        assert err < 1e-4 * max(sig, 1e-9) + 1e-6, (err, sig)

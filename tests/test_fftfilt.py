@@ -132,3 +132,43 @@ def test_noise_gain_matches_reference_formula():
     # bandwidth_fraction / decimate (power ratio < 1, filter.h:73 — the
     # filter passes 40% of the input band, which is 4x the output band)
     assert abs(ng - 0.4 / 4) < 0.01
+
+
+class TestFourStepFFT:
+    def test_matches_monolithic_fft(self):
+        """fft_fourstep (Bailey P x Q decomposition, used for N >= 2^16
+        masters) == numpy's FFT to float32 round-off, natural order."""
+        from ka9q_sdr_tpu.ops.fftfilt import fft_fourstep
+        import jax
+
+        rng = np.random.default_rng(5)
+        for N in (1 << 16, 1 << 18):
+            z = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(
+                np.complex64
+            )
+            got = np.asarray(jax.jit(fft_fourstep)(z))
+            ref = np.fft.fft(z)
+            scale = np.max(np.abs(ref))
+            np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+
+    def test_master_execute_uses_it_transparently(self):
+        """A >= 2^16 complex master produces the same spectrum as the
+        monolithic FFT (overlap-save semantics unchanged)."""
+        from ka9q_sdr_tpu.ops.fftfilt import (
+            FilterType, MasterSpec, master_execute, master_init,
+        )
+        import jax.numpy as jnp
+
+        L, M = 61440, 4097          # N = 65536 = 2^16 -> four-step path
+        spec = MasterSpec(L, M, FilterType.COMPLEX)
+        rng = np.random.default_rng(6)
+        x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(
+            np.complex64
+        )
+        overlap = master_init(spec)
+        _, fd = master_execute(spec, overlap, jnp.asarray(x))
+        buf = np.concatenate([np.zeros(M - 1, np.complex64), x])
+        ref = np.fft.fft(buf)
+        np.testing.assert_allclose(
+            np.asarray(fd), ref, atol=2e-5 * np.max(np.abs(ref))
+        )

@@ -118,11 +118,30 @@ class TestCascade:
 
 
 class TestFracN:
-    def test_quantization_small_but_nonzero(self):
-        f = 146.52e6
+    def test_quantization_step(self):
+        """The MSi001 fractional-N step at 2 m (LO divider 16) is
+        4*26 MHz/16 / (3250*4096) ~ 0.488 Hz (funcube.c:579 comment);
+        requests quantise onto that grid."""
+        step = 4 * 26e6 / 16 / (3250 * 4096)
+        f = 146520001.0              # off-grid by design
         actual = fcd_actual_frequency(f)
         assert actual != f           # quantised
-        assert abs(actual - f) < 10  # but sub-10 Hz at VHF
+        assert abs(actual - f) <= step
+        # on-grid round numbers tune exactly (26 MHz ref divides them)
+        assert fcd_actual_frequency(146.52e6) == 146.52e6
+
+    def test_band_table(self):
+        """Band boundaries follow funcube.c:536-556: low bands upconvert
+        through the 130 MHz IF; dividers change at 125/148/430 MHz."""
+        # 7.1 MHz: offset 130 MHz, div 16 -> still ~0.49 Hz steps
+        step_low = 4 * 26e6 / 16 / (3250 * 4096)
+        f = 7100000.3
+        assert abs(fcd_actual_frequency(f) - f) <= step_low
+        # 435 MHz: divider 4 -> ~1.95 Hz steps
+        step_70cm = 4 * 26e6 / 4 / (3250 * 4096)
+        f = 435000001.0
+        err = abs(fcd_actual_frequency(f) - f)
+        assert err <= step_70cm
 
     def test_monotonic(self):
         fs = [100e6, 100.000001e6, 100.00001e6]
