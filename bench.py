@@ -26,6 +26,9 @@ import numpy as np
 def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
     import jax
     from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+    from ka9q_sdr_tpu.utils.runtime import configure_jax
+
+    configure_jax()   # persistent compile cache (first compile is minutes)
 
     cfg = make_bank_config(n_channels, mode, samprate=samprate, L=L, M=M,
                            **cfg_kw)
@@ -98,16 +101,21 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
 
 
 def main():
-    # 1024 channels is the throughput sweet spot on one v5e chip; 256 runs
-    # ~3 ms/block, 2048 ~8 ms.
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "1024"))
-    # Default bank geometry: 24.576 Msps, N=2^20 FFT, 512:1 to 48 kHz
-    samprate = float(os.environ.get("BENCH_SAMPRATE", str(24.576e6)))
-    L = int(os.environ.get("BENCH_L", str(491520)))
-    M = int(os.environ.get("BENCH_M", str(557057)))
+    # Measured sweet spot (slope method, real chip): the per-channel work
+    # dominates and the wideband FFT is nearly free, so go WIDE — a
+    # 393.216 Msps master (N = 2^24) feeding 2048 channels runs 1.3x
+    # realtime at ~15 ms/block = >1M ch*Msps.  (24.576 Msps/1024 ch does
+    # 3.5 ms/block = 5.7x realtime if you want latency headroom.)
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
+    samprate = float(os.environ.get("BENCH_SAMPRATE", str(393.216e6)))
+    L = int(os.environ.get("BENCH_L", str(7864320)))
+    M = int(os.environ.get("BENCH_M", str(8912897)))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "256"))
+    pll_samprate = float(os.environ.get("BENCH_PLL_SAMPRATE", str(24.576e6)))
+    pll_L = int(os.environ.get("BENCH_PLL_L", str(491520)))
+    pll_M = int(os.environ.get("BENCH_PLL_M", str(557057)))
 
     # Headline: FM with the PL-tone chain ON (the reference's full FM path)
     sps, p50, p99 = _measure(
@@ -136,11 +144,11 @@ def main():
     # decimated acquisition ring (demod_linear.py)
     if pll_channels > 0:
         sps2, p50b, p99b = _measure(
-            "CAM", pll_channels, samprate, L, M, warmup, iters
+            "CAM", pll_channels, pll_samprate, pll_L, pll_M, warmup, iters
         )
         print(
-            f"# CAM(PLL) {pll_channels} ch x {samprate/1e6:.3f} Msps bank: "
-            f"{sps2/1e6:.2f} Msps achieved ({sps2/samprate:.2f}x realtime), "
+            f"# CAM(PLL) {pll_channels} ch x {pll_samprate/1e6:.3f} Msps bank: "
+            f"{sps2/1e6:.2f} Msps achieved ({sps2/pll_samprate:.2f}x realtime), "
             f"{pll_channels * sps2 / 1e6:.0f} ch*Msps, "
             f"round-trip p50 {p50b:.2f} ms / p99 {p99b:.2f} ms",
             file=sys.stderr,
