@@ -85,6 +85,23 @@ class BankDaemon:
             PCMOutput(send=self._sender(), ssrc=i + 1)
             for i in range(len(freqs))
         ]
+        # Native fan-out: per-block C packetisation of the whole bank's
+        # mono PCM (byte swap, silence suppression, markers) — the 1-core
+        # host's Python loop then only dispatches device blocks.
+        self.native_pcm = None
+        if args.output and not getattr(args, "no_native", False):
+            try:
+                from ..native import PCMFanoutSender
+
+                name, port = args.output.rsplit(":", 1)
+                import socket as _socket
+
+                self.native_pcm = PCMFanoutSender(
+                    _socket.gethostbyname(name), int(port), ttl=args.ttl,
+                    ssrc_base=1, max_channels=len(freqs),
+                )
+            except Exception:
+                self.native_pcm = None
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.blocks_done = 0
 
@@ -125,8 +142,11 @@ class BankDaemon:
         a = np.asarray(audio)
         if a.dtype == np.int16:
             # device-side scaleclip already applied (process_i16_pcm)
-            for ch, out in enumerate(self.pcm):
-                out.send_mono_i16(a[ch])
+            if self.native_pcm is not None and a.ndim == 2:
+                self.native_pcm.send_block(a)
+            else:
+                for ch, out in enumerate(self.pcm):
+                    out.send_mono_i16(a[ch])
             if self.raw is not None:
                 self.raw.write(a.astype("<i2").tobytes())
         else:
@@ -147,6 +167,15 @@ class BankDaemon:
         still advances (silence suppression, audio.c:102-113)."""
         pcm = np.asarray(pcm)
         idx = np.asarray(idx)
+        if self.native_pcm is not None:
+            # one C call: active rows packetised, every channel's clock
+            # advanced, silent rows suppressed
+            self.native_pcm.send_block(pcm, idx.astype(np.int32))
+            if self.raw is not None:
+                self.raw.write(pcm.astype("<i2").tobytes())
+            self._last_diag = diag
+            self.emit_channel_status()
+            return
         active = set()
         for row, ch in enumerate(idx):
             if ch >= 0:
@@ -262,7 +291,7 @@ def run_multibank(args, groups) -> int:
     return 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bankd")
     p.add_argument("--iq-file", help="wideband recording to process")
     p.add_argument("-I", "--input", help="wideband I/Q multicast")
@@ -284,7 +313,11 @@ def main(argv=None) -> int:
                         "(device-side squelch compaction; 0 = all)")
     p.add_argument("--profile", metavar="DIR",
                    help="write a JAX profiler trace for the first second")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     from ..utils.runtime import configure_jax
 

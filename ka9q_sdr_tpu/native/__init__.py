@@ -15,7 +15,10 @@ import threading
 
 import numpy as np
 
-__all__ = ["NATIVE_AVAILABLE", "RTPReceiver", "RTPSender", "build"]
+__all__ = [
+    "NATIVE_AVAILABLE", "RTPReceiver", "RTPSender", "PCMFanoutSender",
+    "build",
+]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "rtp_engine.cc")
@@ -78,6 +81,18 @@ def _load():
             ctypes.c_int, ctypes.c_int,
         ]
         lib.rtp_tx_destroy.argtypes = [ctypes.c_void_p]
+        lib.pcm_tx_create.restype = ctypes.c_void_p
+        lib.pcm_tx_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pcm_tx_send_block.restype = ctypes.c_longlong
+        lib.pcm_tx_send_block.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pcm_tx_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -142,6 +157,66 @@ class RTPReceiver:
     def close(self):
         if self._h:
             self._lib.rtp_rx_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PCMFanoutSender:
+    """Native multichannel PCM RTP fan-out (audio.c semantics per channel,
+    batched for the bank): one call per bank block sends every active
+    channel's big-endian PCM with silence suppression, talk-spurt markers
+    and per-channel SSRC/seq/timestamp state.  ~128 packets per 20 ms at
+    64 active channels — done in C so the 1-core host's Python loop only
+    dispatches blocks."""
+
+    def __init__(
+        self,
+        group: str,
+        port: int = 5004,
+        ttl: int = 1,
+        ssrc_base: int = 1,
+        max_channels: int = 4096,
+        channels: int = 1,
+    ):
+        self._lib = _load()
+        self._h = self._lib.pcm_tx_create(
+            group.encode(), port, ttl, ssrc_base, max_channels, channels
+        )
+        if not self._h:
+            raise OSError(f"pcm_tx_create failed for {group}:{port}")
+        self.channels = channels
+
+    def send_block(
+        self,
+        pcm_i16: np.ndarray,
+        ch_ids: np.ndarray | None = None,
+        pkt_samples: int = 480,
+    ) -> int:
+        """pcm_i16: (n_rows, block_len[, channels]) host-order int16 — the
+        device's compacted PCM output.  ch_ids: (n_rows,) int32 logical
+        channel per row, -1 = unused slot (bank_step_active's idx); None
+        means row i IS channel i.  Returns packets sent."""
+        arr = np.ascontiguousarray(pcm_i16, np.int16)
+        n_rows = arr.shape[0]
+        block_len = arr.shape[1]
+        if ch_ids is None:
+            ch_ids = np.arange(n_rows, dtype=np.int32)
+        ids = np.ascontiguousarray(ch_ids, np.int32)
+        return int(self._lib.pcm_tx_send_block(
+            self._h,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_rows, block_len, pkt_samples,
+        ))
+
+    def close(self):
+        if self._h:
+            self._lib.pcm_tx_destroy(self._h)
             self._h = None
 
     def __del__(self):

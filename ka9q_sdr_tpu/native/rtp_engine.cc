@@ -247,6 +247,27 @@ struct TxEngine {
   long long sent_samples = 0;
 };
 
+// Multichannel PCM fan-out (audio.c:19-143 semantics per channel, batched
+// for the bank): one socket, one RTP session per channel (SSRC = base+ch),
+// big-endian int16 payloads, <=pkt_samples frames per packet, silence
+// suppression (all-zero packets are not sent but the timestamp advances,
+// audio.c:102-113) and the marker bit on the first packet of a talk spurt
+// (audio.c:51-61).  Doing this in C instead of Python matters on small
+// hosts: a 64-active-channel bank is ~128 packets of byte-swapped PCM
+// every 20 ms.
+struct PcmTxEngine {
+  int fd = -1;
+  uint32_t ssrc_base;
+  int channels;  // 1 mono / 2 stereo (PT 11 / 10, multicast.h:19-24)
+  struct Ch {
+    uint16_t seq = 0;
+    uint32_t timestamp = 0;
+    bool silent = true;
+  };
+  std::vector<Ch> ch;
+  std::atomic<long long> packets{0};
+};
+
 long long now_us() {
   timeval tv;
   gettimeofday(&tv, nullptr);
@@ -396,6 +417,100 @@ int rtp_tx_send(void* h, const int16_t* iq, int nsamples, int pkt_samples,
 
 void rtp_tx_destroy(void* h) {
   auto* e = (TxEngine*)h;
+  close(e->fd);
+  delete e;
+}
+
+void* pcm_tx_create(const char* group, int port, int ttl,
+                    unsigned int ssrc_base, int max_channels, int channels) {
+  int fd = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+  if (fd < 0) return nullptr;
+  unsigned char t = (unsigned char)ttl;
+  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof(t));
+  unsigned char loop = 1;
+  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
+  sockaddr_in sin{};
+  sin.sin_family = AF_INET;
+  sin.sin_port = htons(port);
+  inet_pton(AF_INET, group, &sin.sin_addr);
+  if (connect(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
+    close(fd);
+    return nullptr;
+  }
+  ip_mreq mreq{};
+  inet_pton(AF_INET, group, &mreq.imr_multiaddr);
+  mreq.imr_interface.s_addr = INADDR_ANY;
+  setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
+  auto* e = new PcmTxEngine();
+  e->fd = fd;
+  e->ssrc_base = ssrc_base;
+  e->channels = channels == 2 ? 2 : 1;
+  e->ch.resize(max_channels > 0 ? max_channels : 1);
+  return e;
+}
+
+// One bank block: pcm holds n_rows x (block_len*channels) host-order
+// int16 frames; ch_ids[i] is row i's logical channel (-1 = unused slot,
+// the compacted active-set format of bank_step_active).  EVERY channel's
+// RTP timestamp advances by block_len frames (silent channels keep
+// sample-accurate clocks, audio.c:107-110); rows present are packetised
+// and sent unless all-zero.  Returns packets sent.
+long long pcm_tx_send_block(void* h, const int16_t* pcm,
+                            const int32_t* ch_ids, int n_rows,
+                            int block_len, int pkt_samples) {
+  auto* e = (PcmTxEngine*)h;
+  const int nch = e->channels;
+  const int pt = nch == 2 ? 10 : 11;   // PCM stereo/mono (multicast.h:19-24)
+  uint8_t pkt[MAX_PKT];
+  long long sent = 0;
+  std::vector<uint32_t> base_ts(e->ch.size());
+  for (size_t c = 0; c < e->ch.size(); c++) {
+    base_ts[c] = e->ch[c].timestamp;
+    e->ch[c].timestamp += (uint32_t)block_len;
+  }
+  for (int r = 0; r < n_rows; r++) {
+    int32_t c = ch_ids[r];
+    if (c < 0 || (size_t)c >= e->ch.size()) continue;
+    auto& st = e->ch[c];
+    const int16_t* row = pcm + (size_t)r * block_len * nch;
+    int off = 0;   // frames consumed
+    while (off < block_len) {
+      int chunk = std::min(pkt_samples, block_len - off);
+      const int16_t* s = row + (size_t)off * nch;
+      bool all_zero = true;
+      for (int i = 0; i < chunk * nch; i++)
+        if (s[i] != 0) { all_zero = false; break; }
+      if (all_zero) {           // silence suppression (audio.c:102-113)
+        st.silent = true;
+        off += chunk;
+        continue;
+      }
+      uint8_t* p = pkt;
+      *p++ = 0x80;
+      *p++ = (uint8_t)((st.silent ? 0x80 : 0) | pt);  // marker on resume
+      *p++ = st.seq >> 8; *p++ = st.seq & 0xFF;
+      st.seq++;
+      uint32_t ts = base_ts[c] + (uint32_t)off;
+      *p++ = ts >> 24; *p++ = ts >> 16; *p++ = ts >> 8; *p++ = ts;
+      uint32_t ss = e->ssrc_base + (uint32_t)c;
+      *p++ = ss >> 24; *p++ = ss >> 16; *p++ = ss >> 8; *p++ = ss;
+      for (int i = 0; i < chunk * nch; i++) {  // big-endian samples
+        uint16_t v = (uint16_t)s[i];
+        *p++ = v >> 8;
+        *p++ = v & 0xFF;
+      }
+      if (send(e->fd, pkt, p - pkt, 0) < 0) return sent;
+      st.silent = false;
+      sent++;
+      off += chunk;
+    }
+  }
+  e->packets += sent;
+  return sent;
+}
+
+void pcm_tx_destroy(void* h) {
+  auto* e = (PcmTxEngine*)h;
   close(e->fd);
   delete e;
 }

@@ -90,3 +90,126 @@ def test_throughput_exceeds_flagship_rate():
     assert rate > 24.576e6, f"only {rate/1e6:.1f} Msps"
     rx.close()
     tx.close()
+
+
+def test_pcm_fanout_semantics():
+    """Native PCM fan-out: per-channel SSRC/seq/timestamp, big-endian
+    payloads, silence suppression with advancing timestamps, and the
+    talk-spurt marker (audio.c:51-61,102-113 semantics batched)."""
+    import select as _select
+
+    from ka9q_sdr_tpu.native import PCMFanoutSender
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+    grp, port = "239.77.3.1", 5520
+    rx = setup_mcast(f"{grp}:{port}", output=False)
+    tx = PCMFanoutSender(grp, port, ttl=0, ssrc_base=100, max_channels=16)
+
+    L = 960
+    tone = (1000 * np.sin(2 * np.pi * 700 * np.arange(L) / 48000)).astype(
+        np.int16
+    )
+    silent = np.zeros(L, np.int16)
+
+    def recv_all():
+        pkts = []
+        while True:
+            r, _, _ = _select.select([rx], [], [], 0.3)
+            if not r:
+                return pkts
+            data = rx.recv(9000)
+            hdr, off = RTPHeader.from_bytes(data)
+            pkts.append((hdr, data[off:]))
+
+    # block 1: channel 5 active, channel 7 silent
+    n = tx.send_block(np.stack([tone, silent]),
+                      np.array([5, 7], np.int32), pkt_samples=480)
+    assert n == 2          # 960 samples -> two 480-sample packets
+    pkts = recv_all()
+    assert len(pkts) == 2
+    h0, d0 = pkts[0]
+    assert h0.type == 11                  # PCM mono PT
+    assert h0.ssrc == 105                 # base + channel
+    assert h0.marker                      # talk-spurt start
+    assert h0.timestamp == 0
+    payload = np.frombuffer(d0, ">i2")
+    np.testing.assert_array_equal(payload, tone[:480])
+    h1, _ = pkts[1]
+    assert not h1.marker and h1.timestamp == 480 and h1.seq == 1
+
+    # block 2: channel 5 goes silent, channel 7 starts talking — its
+    # timestamp must reflect the silent first block (clock advanced)
+    n = tx.send_block(np.stack([silent, tone]),
+                      np.array([5, 7], np.int32), pkt_samples=480)
+    assert n == 2
+    pkts = recv_all()
+    assert len(pkts) == 2
+    h, _ = pkts[0]
+    assert h.ssrc == 107 and h.marker
+    assert h.timestamp == L              # one silent block's worth
+    assert h.seq == 0                    # first packet ever for ch 7
+
+    # block 3: channel 5 resumes -> marker again, timestamp = 2 blocks
+    n = tx.send_block(tone[None, :], np.array([5], np.int32),
+                      pkt_samples=480)
+    pkts = recv_all()
+    h, _ = pkts[0]
+    assert h.ssrc == 105 and h.marker and h.timestamp == 2 * L
+    assert h.seq == 2                    # two packets were sent in block 1
+
+    tx.close()
+    rx.close()
+
+
+def test_bankd_native_fanout_end_to_end():
+    """bankd routes bank PCM through the native fan-out: packets arrive
+    with per-channel SSRCs and decode to the demodulated audio."""
+    import select as _select
+
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+    grp = "239.77.4.1:5004"
+    rx = setup_mcast(grp, output=False)
+    args = build_parser().parse_args(
+        ["-R", grp, "-m", "AM", "--channels", "4",
+         "-r", "1536000", "--L", "30720", "--M", "34817", "-T", "0"]
+    )
+    fs, Lw = 1.536e6, 30720
+    usable = 0.9 * fs
+    freqs = list(np.linspace(-usable / 2, usable / 2, 4, endpoint=False))
+    d = BankDaemon(args, freqs)
+    assert d.native_pcm is not None
+
+    f1 = d.bank.freqs[1]
+    for b in range(3):
+        tt = (b * Lw + np.arange(Lw)) / fs
+        iq = (0.4 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+              * np.exp(2j * np.pi * f1 * tt))
+        xi = np.empty((Lw, 2), np.int16)
+        xi[:, 0] = np.clip(iq.real * 32767, -32768, 32767)
+        xi[:, 1] = np.clip(iq.imag * 32767, -32768, 32767)
+        d.process_block(xi)
+    d.flush()
+
+    got = {}
+    while True:
+        r, _, _ = _select.select([rx], [], [], 0.3)
+        if not r:
+            break
+        data = rx.recv(9000)
+        hdr, off = RTPHeader.from_bytes(data)
+        got.setdefault(hdr.ssrc, []).append(
+            np.frombuffer(data[off:], ">i2")
+        )
+    assert got, "no PCM packets arrived"
+    # channel 1 (ssrc 2) carries the AM audio
+    assert 2 in got, sorted(got)
+    audio = np.concatenate(got[2]).astype(np.float32) / 32767.0
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+    f = np.fft.rfftfreq(len(audio), 1 / 48000)
+    peak = f[np.argmax(spec[5:]) + 5]
+    assert abs(peak - 400.0) < 20.0, peak
+    rx.close()
