@@ -43,6 +43,27 @@ from .control import StatusMirror
 __all__ = ["main", "TuningState"]
 
 
+#: Help overlay ('h'/'?', the reference ships help.txt).
+HELP_TEXT = """
+KA9Q TPU radio display - keys (display.c:745-986)
+
+  Up/Down       adjust the selected item by the current step
+  Left/Right    move the digit cursor (step x10 / /10)
+  Tab           next item: freq, IF, low edge, high edge, shift, beta
+  mouse         click an item line to select; wheel adjusts
+  f             enter frequency (forms like 147m435 accepted)
+  m             enter mode (FM AM USB LSB CWU CWL IQ ISB CISB CAM DSB AME)
+  k             enter Kaiser window beta
+  o             option flag: isb pll square flat stereo mono ('!' clears)
+  b             blocksize (receiver restarts with L, M=L+1)
+  i             recenter IF at +samprate/4
+  l             lock/unlock frequency tuning
+  u             display update interval (ms)
+  w             ask the receiver to save its state file
+  h ?           this help
+  q Ctrl-C      quit
+"""
+
 #: Adjustable items in Tab order (adjust_item, display.c:137-180; the
 #: reference's items 0/1 merge into "freq", 2 "First LO" is the front
 #: end's to move, so the network UI exposes the IF=LO2 item instead).
@@ -109,6 +130,8 @@ def adjust_command(mirror, tuning: "TuningState", direction: int):
     d = direction * tuning.step
     name = tuning.item_name
     if name == "freq":
+        if getattr(tuning, "freq_lock", False):   # 'l' (display.c:140)
+            return None
         f = g(StatusType.RADIO_FREQUENCY)
         return None if f is None else (
             StatusType.RADIO_FREQUENCY, "double", f + d)
@@ -373,6 +396,43 @@ def run_ui(stdscr, args):
                 _send_cmd(cmd_sock,
                           (StatusType.SECOND_LO_FREQUENCY, "double", sr / 4))
                 msg = "IF recentered"
+        elif ch == ord("b"):
+            # blocksize: L = entry, M = L+1 at the receiver
+            # (display.c:866-886)
+            s = _prompt(stdscr, "Blocksize (samples)")
+            try:
+                bs = int(s, 0)
+            except ValueError:
+                continue
+            if bs > 0:
+                _send_cmd(cmd_sock, (StatusType.FILTER_BLOCKSIZE, "int", bs))
+                msg = f"sent blocksize {bs}"
+        elif ch == ord("w"):
+            # save receiver state file (display.c:795-805 'w')
+            _send_cmd(cmd_sock, (StatusType.SAVE_STATE, "int", 1))
+            msg = "state save requested"
+        elif ch == ord("l"):
+            # frequency lock: ignore tuning on the freq item
+            # (display.c:828-832)
+            tuning.freq_lock = not getattr(tuning, "freq_lock", False)
+            msg = f"frequency {'locked' if tuning.freq_lock else 'unlocked'}"
+        elif ch == ord("u"):
+            # display update interval (display.c:920-938)
+            s = _prompt(stdscr, "Update interval ms (>=50)")
+            try:
+                u = int(s)
+            except ValueError:
+                continue
+            stdscr.timeout(max(50, u))
+            msg = f"update every {max(50, u)} ms"
+        elif ch in (ord("h"), ord("?")):
+            stdscr.erase()
+            for i, line in enumerate(HELP_TEXT.strip().split("\n")):
+                stdscr.addstr(i + 1, 2, line)
+            stdscr.addstr(i + 3, 2, "press any key")
+            stdscr.timeout(-1)
+            stdscr.getch()
+            stdscr.timeout(100)
 
 
 def main(argv=None) -> int:

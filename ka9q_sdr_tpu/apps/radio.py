@@ -178,8 +178,8 @@ class RadioDaemon:
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY, self.rx.tune_freq)
         st.encode_double(pkt, StatusType.FIRST_LO_FREQUENCY, self.rx.sdr.frequency)
         st.encode_double(pkt, StatusType.SECOND_LO_FREQUENCY, self.rx.second_lo)
-        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.args.blocksize)
-        st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.args.impulse_len)
+        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.rx.cfg.master.L)
+        st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.rx.cfg.master.M)
         st.encode_float(pkt, StatusType.KAISER_BETA, self.rx.cfg.kaiser_beta)
         st.encode_float(pkt, StatusType.LOW_EDGE, self.rx.cfg.mode.low)
         st.encode_float(pkt, StatusType.HIGH_EDGE, self.rx.cfg.mode.high)
@@ -293,10 +293,39 @@ class RadioDaemon:
                 opts["recovery_rate"] = st.decode_float(v)
             elif t == StatusType.AGC_HANGTIME:
                 opts["hangtime"] = st.decode_float(v)
+            elif t == StatusType.FILTER_BLOCKSIZE:
+                # 'b' key: L = value, M = L+1 (display.c:866-886)
+                try:
+                    self.rx.set_blocksize(int(st.decode_int(v)))
+                except ValueError:
+                    pass  # incompatible geometry; keep running
+            elif t == StatusType.SAVE_STATE:
+                self.save_state()
         if filt:
             self.rx.set_filter(**filt)
         if opts:
             self.rx.set_options(**opts)
+
+    def save_state(self) -> None:
+        """Write the ~/.radiostate file (savestate, main.c:368-401):
+        on exit and on the SAVE_STATE command (the display 'w' key,
+        display.c:795-805, delivered over TLV for a network daemon)."""
+        savestate(
+            RadioState(
+                source=self.args.input or "",
+                output=self.args.output or "",
+                ttl=self.args.ttl,
+                blocksize=self.rx.cfg.master.L,
+                impulse_len=self.rx.cfg.master.M,
+                frequency=self.freq,
+                mode=self.mode,
+                shift=self.rx.cfg.mode.shift,
+                filter_low=self.rx.cfg.mode.low,
+                filter_high=self.rx.cfg.mode.high,
+                kaiser_beta=self.rx.cfg.kaiser_beta,
+            ),
+            self.args.state or "default",
+        )
 
     def handle_fe_status(self, data: bytes) -> None:
         """Front-end TLV status (recv_sdr_status / decode_sdr_status,
@@ -531,20 +560,7 @@ def main(argv=None) -> int:
         pass
     finally:
         if args.state:
-            savestate(
-                RadioState(
-                    source=args.input or "",
-                    output=args.output or "",
-                    ttl=args.ttl,
-                    blocksize=args.blocksize,
-                    impulse_len=args.impulse_len,
-                    frequency=d.freq,
-                    mode=d.mode,
-                    filter_low=d.rx.cfg.mode.low,
-                    filter_high=d.rx.cfg.mode.high,
-                ),
-                args.state,
-            )
+            d.save_state()
         d.close()
     return 0
 

@@ -519,6 +519,40 @@ class Receiver:
         mode = dc_replace(self.cfg.mode, **changes)
         self._rebuild(mode, headroom_db=headroom)
 
+    def set_blocksize(self, L: int, M: int | None = None) -> None:
+        """Blocksize change (display.c:866-886 'b' key): M defaults to
+        L+1 as the reference does; demod restarts (set_mode semantics),
+        the overlap resets (its length changed), tuning oscillators and
+        gain carry over."""
+        from ..ops.packing import tree_c2r_np
+
+        old_packed = self.state
+        cfg = make_receiver_config(
+            self.cfg.mode,
+            samprate=self.cfg.samprate,
+            out_rate=int(self.cfg.dsamprate),
+            L=int(L),
+            M=int(M) if M is not None else int(L) + 1,
+            kaiser_beta=self.cfg.kaiser_beta,
+            headroom_db=self.cfg.headroom_db,
+            enable_pl=self.cfg.enable_pl,
+        )
+        self.cfg = cfg
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._template = receiver_init(cfg)
+            fresh = tree_c2r_np(
+                jax.tree_util.tree_map(np.asarray, self._template)
+            )
+        self.state = fresh._replace(
+            lo2=old_packed.lo2,
+            doppler=old_packed.doppler,
+            gain_factor=old_packed.gain_factor,
+        )
+        self._step = jax.jit(receiver_step_packed(cfg, self._template))
+        if hasattr(self, "_scan"):
+            del self._scan
+        self._load_filter_args()
+
     def set_mode(self, mode: str) -> None:
         """Runtime mode change (set_mode, radio.c:322-374): the reference
         kills and respawns the demod thread; here the config and jitted

@@ -94,6 +94,8 @@ class StatusType(enum.IntEnum):
     AGC_HEADROOM = 103   # float, dB (negative)
     AGC_RECOVERY_RATE = 104   # float, dB/s
     AGC_HANGTIME = 105   # float, seconds
+    SAVE_STATE = 106     # command: write the ~/.radiostate file now
+    #                      (the in-process display 'w' key, over the wire)
 
 
 def encode_int(buf: bytearray, type_: int, x: int) -> int:

@@ -564,3 +564,45 @@ class TestDisplayAdjust:
         t.step_log10 = 0
         key, _, val = adjust_command(m, t, +1)
         assert key == StatusType.KAISER_BETA and val == 4.0
+
+
+class TestBlocksizeAndSaveState:
+    def test_blocksize_command_rebuilds_receiver(self, am_recording):
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+        args = build_parser().parse_args(
+            ["--iq-file", am_recording, "-f", "30k", "-m", "AM"]
+        )
+        d = RadioDaemon(args)
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, 1920)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.rx.cfg.master.L == 1920
+        assert d.rx.cfg.master.M == 1921   # M = L+1 (display.c:880-886)
+        # receiver still runs at the new geometry
+        iq = 0.2 * np.exp(
+            2j * np.pi * 31000 * np.arange(1920) / 192000
+        ).astype(np.complex64)
+        audio, _ = d.rx.process(iq)
+        assert np.all(np.isfinite(np.asarray(audio)))
+
+    def test_save_state_command_writes_file(self, am_recording, tmp_path):
+        from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+        from ka9q_sdr_tpu.utils.state import loadstate
+
+        sfile = str(tmp_path / "teststate")
+        args = build_parser().parse_args(
+            ["--iq-file", am_recording, "-f", "30k", "-m", "AM",
+             "--state", sfile]
+        )
+        d = RadioDaemon(args)
+        d.rx.set_freq(31000.0)
+        d.freq = 31000.0
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.SAVE_STATE, 1)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        rs = loadstate(sfile)
+        assert rs.frequency == 31000.0
+        assert rs.mode == "AM"
