@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 
-def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
+def _measure(mode, n_channels, samprate, L, M, warmup, iters,
+             use_scan=True, **cfg_kw):
     import jax
     from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
     from ka9q_sdr_tpu.utils.runtime import configure_jax
@@ -48,41 +49,57 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
     x_i[:, 0] = np.clip(x.real * 32767, -32768, 32767)
     x_i[:, 1] = np.clip(x.imag * 32767, -32768, 32767)
 
-    for _ in range(warmup):
-        audio, diag = bank.process_i16(x_i)
-    jax.block_until_ready(audio)
-
     # Measurement rules for the remote (axon) runtime, both learned the
     # hard way:
     # - block_until_ready does NOT wait for remote completion; only a
-    #   host FETCH does.  Every timed region ends with a tiny fetch.
+    #   host FETCH does.  Every timed region (and the warmup) ends with
+    #   a tiny fetch.
     # - the tunnel's upload path degrades after a few hundred MB of
-    #   cumulative transfers, so inputs stay DEVICE-RESIDENT (the live
-    #   network path has its own measured number: the native feeder +
-    #   TPU radio sustains exactly realtime, see CLAUDE.md).
+    #   cumulative transfers, so EVERY repeated call (warmup included)
+    #   uses a device-resident input (the live network path has its own
+    #   measured number: the native feeder + TPU radio sustains exactly
+    #   realtime, see CLAUDE.md).
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     x_dev = jax.device_put(x_i)
-    xs_dev = jax.device_put(np.ascontiguousarray(
-        np.broadcast_to(x_i, (chunk,) + x_i.shape)))
+    if use_scan:
+        xs_dev = jax.device_put(np.ascontiguousarray(
+            np.broadcast_to(x_i, (chunk,) + x_i.shape)))
 
     def fetch(a):
         return np.asarray(a.ravel()[:2])
 
-    # Throughput: scanned path (`chunk` blocks per device program,
-    # bank_scan_packed_i16) timed by SLOPE between a short and a long
-    # run so the constant ~50 ms fetch latency cancels.
-    fetch(bank.process_scan_i16(xs_dev))      # warm the scan program
+    for _ in range(warmup):
+        audio, diag = bank.process_i16(x_dev)
+    fetch(audio)
 
-    def run_scan(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            audio = bank.process_scan_i16(xs_dev)
-        fetch(audio)
-        return time.perf_counter() - t0
+    # Throughput, timed by SLOPE between a short and a long run so the
+    # constant ~50 ms fetch latency cancels.  Short (20 ms) blocks run
+    # `chunk` blocks per device program (bank_scan_packed_i16) to
+    # amortise the ~1 ms dispatch; long blocks use the plain step
+    # (dispatch is <2% of a 60 ms block and the scan graph would be a
+    # second multi-minute compile).
+    if use_scan:
+        fetch(bank.process_scan_i16(xs_dev))  # warm the scan program
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                audio = bank.process_scan_i16(xs_dev)
+            fetch(audio)
+            return time.perf_counter() - t0
+    else:
+        chunk = 1
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                audio, _ = bank.process_i16(x_dev)
+            fetch(audio)
+            return time.perf_counter() - t0
 
     lo_it = max(2, iters // 8)
-    t_lo = run_scan(lo_it)
-    t_hi = run_scan(iters)
+    t_lo = run(lo_it)
+    t_hi = run(iters)
     dt_blk = (t_hi - t_lo) / ((iters - lo_it) * chunk)
     sps = L / dt_blk                          # wideband samples/sec achieved
 
@@ -101,25 +118,31 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters, **cfg_kw):
 
 
 def main():
-    # Measured sweet spot (slope method, real chip): the per-channel work
-    # dominates and the wideband FFT is nearly free, so go WIDE — a
-    # 393.216 Msps master (N = 2^24) feeding 2048 channels runs 1.3x
-    # realtime at ~15 ms/block = >1M ch*Msps.  (24.576 Msps/1024 ch does
-    # 3.5 ms/block = 5.7x realtime if you want latency headroom.)
+    # Measured sweet spots (slope method, real chip): the per-channel
+    # work dominates and the wideband FFT is nearly free, so go WIDE
+    # (393.216 Msps master) and go LONG — overlap-save with L = 6.5(M-1)
+    # spends 1.15 FFT points per input sample instead of the reference's
+    # ~2.1, at the cost of a 148 ms block (fine for monitoring-scale
+    # channelisation; the reference-cadence 20 ms row below keeps the
+    # Opus-friendly latency).
     n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
     samprate = float(os.environ.get("BENCH_SAMPRATE", str(393.216e6)))
-    L = int(os.environ.get("BENCH_L", str(7864320)))
-    M = int(os.environ.get("BENCH_M", str(8912897)))
+    L = int(os.environ.get("BENCH_L", str(58195968)))    # L_dec = 7104
+    M = int(os.environ.get("BENCH_M", str(8912897)))     # M_dec = 1089
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    ref_L = int(os.environ.get("BENCH_REF_L", str(7864320)))   # 20 ms
     pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "256"))
     pll_samprate = float(os.environ.get("BENCH_PLL_SAMPRATE", str(24.576e6)))
     pll_L = int(os.environ.get("BENCH_PLL_L", str(491520)))
     pll_M = int(os.environ.get("BENCH_PLL_M", str(557057)))
 
-    # Headline: FM with the PL-tone chain ON (the reference's full FM path)
+    # Headline: FM with the PL-tone chain ON (the reference's full FM
+    # path), long-block geometry, plain per-block stepping (no scan:
+    # dispatch is <2% of a 60 ms block)
     sps, p50, p99 = _measure(
-        "FM", n_channels, samprate, L, M, warmup, iters, enable_pl=True
+        "FM", n_channels, samprate, L, M, warmup,
+        max(8, iters // 2), enable_pl=True, use_scan=False,
     )
     value = n_channels * sps / 1e6            # channels x Msps
     baseline = 0.192                          # 1 ch x 0.192 Msps per CPU core
@@ -134,11 +157,27 @@ def main():
         )
     )
     print(
-        f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank: "
-        f"{sps/1e6:.2f} Msps achieved ({sps/samprate:.2f}x realtime), "
-        f"block {L}, round-trip p50 {p50:.2f} ms / p99 {p99:.2f} ms",
+        f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank "
+        f"(long blocks, L={L}): {sps/1e6:.2f} Msps achieved "
+        f"({sps/samprate:.2f}x realtime), "
+        f"round-trip p50 {p50:.2f} ms / p99 {p99:.2f} ms",
         file=sys.stderr,
     )
+
+    # Reference-cadence row: same bank at 20 ms blocks (Opus-friendly)
+    if ref_L > 0:
+        sps_r, p50r, p99r = _measure(
+            "FM", n_channels, samprate, ref_L, M, warmup, iters,
+            enable_pl=True,
+        )
+        print(
+            f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank "
+            f"(20 ms blocks): {sps_r/1e6:.2f} Msps "
+            f"({sps_r/samprate:.2f}x realtime), "
+            f"{n_channels*sps_r/1e6:.0f} ch*Msps, "
+            f"round-trip p50 {p50r:.2f} ms / p99 {p99r:.2f} ms",
+            file=sys.stderr,
+        )
 
     # Secondary row: the heaviest mode — a PLL (CAM) bank with the
     # decimated acquisition ring (demod_linear.py)
