@@ -162,7 +162,8 @@ class StatusMirror:
         return "\n".join(lines)
 
 
-#: --option strings -> TLV command key/value (display.c:958-986 'o' key)
+#: option strings -> TLV command key/value (display.c:958-986 'o' key);
+#: the single source shared by control's --option and display's 'o' prompt
 OPTION_COMMANDS = {
     "isb": (StatusType.INDEPENDENT_SIDEBAND, 1),
     "!isb": (StatusType.INDEPENDENT_SIDEBAND, 0),
@@ -173,7 +174,9 @@ OPTION_COMMANDS = {
     "flat": (StatusType.FM_FLAT, 1),
     "!flat": (StatusType.FM_FLAT, 0),
     "stereo": (StatusType.OUTPUT_CHANNELS, 2),
+    "!mono": (StatusType.OUTPUT_CHANNELS, 2),
     "mono": (StatusType.OUTPUT_CHANNELS, 1),
+    "!stereo": (StatusType.OUTPUT_CHANNELS, 1),
 }
 
 

@@ -155,21 +155,9 @@ def adjust_command(mirror, tuning: "TuningState", direction: int):
     return None
 
 
-#: Option strings accepted by the 'o' prompt (display.c:958-986) mapped
-#: to their TLV command keys.
-OPTION_KEYS = {
-    "isb": (StatusType.INDEPENDENT_SIDEBAND, 1),
-    "!isb": (StatusType.INDEPENDENT_SIDEBAND, 0),
-    "pll": (StatusType.PLL_ENABLE, 1),
-    "!pll": (StatusType.PLL_ENABLE, 0),
-    "square": (StatusType.PLL_SQUARE, 1),
-    "!square": (StatusType.PLL_SQUARE, 0),
-    "flat": (StatusType.FM_FLAT, 1),
-    "!flat": (StatusType.FM_FLAT, 0),
-    "stereo": (StatusType.OUTPUT_CHANNELS, 2),
-    "!mono": (StatusType.OUTPUT_CHANNELS, 2),
-    "mono": (StatusType.OUTPUT_CHANNELS, 1),
-}
+#: Option strings accepted by the 'o' prompt (display.c:958-986): the
+#: shared table in control.py, so the two UIs can never drift.
+from .control import OPTION_COMMANDS as OPTION_KEYS  # noqa: E402
 
 
 #: screen row of each adjustable item (mouse row -> item, display.c:988)
@@ -180,6 +168,17 @@ def _render(stdscr, mirror: StatusMirror, tuning: TuningState, bp, msg: str):
     import curses
 
     stdscr.erase()
+    try:
+        _render_body(stdscr, mirror, tuning, bp, msg)
+    except curses.error:
+        pass   # terminal too small: draw what fits (display.c tolerates it)
+    stdscr.refresh()
+
+
+def _render_body(stdscr, mirror: StatusMirror, tuning: TuningState, bp,
+                 msg: str):
+    import curses
+
     maxy, maxx = stdscr.getmaxyx()
     g = mirror.get
     freq = g(StatusType.RADIO_FREQUENCY, float("nan"))
@@ -275,7 +274,6 @@ def _render(stdscr, mirror: StatusMirror, tuning: TuningState, bp, msg: str):
     )
     if msg:
         stdscr.addstr(maxy - 1, 2, msg[: maxx - 3], curses.A_DIM)
-    stdscr.refresh()
 
 
 def _prompt(stdscr, label: str) -> str:
@@ -427,9 +425,15 @@ def run_ui(stdscr, args):
             msg = f"update every {max(50, u)} ms"
         elif ch in (ord("h"), ord("?")):
             stdscr.erase()
-            for i, line in enumerate(HELP_TEXT.strip().split("\n")):
-                stdscr.addstr(i + 1, 2, line)
-            stdscr.addstr(i + 3, 2, "press any key")
+            try:
+                maxy, maxx = stdscr.getmaxyx()
+                for i, line in enumerate(HELP_TEXT.strip().split("\n")):
+                    if i + 1 >= maxy - 1:
+                        break
+                    stdscr.addstr(i + 1, 2, line[: maxx - 3])
+                stdscr.addstr(min(i + 3, maxy - 1), 2, "press any key")
+            except curses.error:
+                pass
             stdscr.timeout(-1)
             stdscr.getch()
             stdscr.timeout(100)

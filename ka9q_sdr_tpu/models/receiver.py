@@ -376,10 +376,13 @@ class Receiver:
         self._load_filter_args()
 
     def _load_filter_args(self) -> None:
-        """Pack the current response/mask into the runtime filter args."""
+        """Pack the current response/mask into the runtime filter args,
+        device-resident (numpy args would re-upload ~1 MB per block)."""
         r = np.asarray(self.cfg.response)
-        self._resp_r = np.stack([r.real, r.imag], axis=-1).astype(np.float32)
-        self._n0_mask = np.asarray(self.cfg.n0_mask)
+        self._resp_r = jax.device_put(
+            np.stack([r.real, r.imag], axis=-1).astype(np.float32)
+        )
+        self._n0_mask = jax.device_put(np.asarray(self.cfg.n0_mask))
 
     def process(self, iq_block):
         """Run one L-sample complex block; returns (audio, diag)."""
@@ -482,6 +485,9 @@ class Receiver:
             n0_mask=mask,
             kaiser_beta=beta,
         )
+        # the offline scan bakes the response in as a constant — retrace
+        if hasattr(self, "_scan"):
+            del self._scan
         self._load_filter_args()
 
     def set_shift(self, shift_hz: float) -> None:

@@ -461,12 +461,28 @@ long long pcm_tx_send_block(void* h, const int16_t* pcm,
   auto* e = (PcmTxEngine*)h;
   const int nch = e->channels;
   const int pt = nch == 2 ? 10 : 11;   // PCM stereo/mono (multicast.h:19-24)
+  // clamp to what fits one datagram; reject nonsense (a too-large value
+  // would overflow the stack buffer, <=0 would never advance)
+  const int max_frames = (MAX_PKT - RTP_MIN_SIZE) / (2 * nch);
+  if (pkt_samples > max_frames) pkt_samples = max_frames;
+  if (pkt_samples <= 0 || block_len <= 0) return -1;
   uint8_t pkt[MAX_PKT];
   long long sent = 0;
   std::vector<uint32_t> base_ts(e->ch.size());
   for (size_t c = 0; c < e->ch.size(); c++) {
     base_ts[c] = e->ch[c].timestamp;
     e->ch[c].timestamp += (uint32_t)block_len;
+  }
+  // Channels absent from this block's active set were suppressed (the
+  // compacted bank omits squelched channels entirely): mark them silent
+  // so their next packet carries the talk-spurt marker (audio.c:51-61).
+  {
+    std::vector<bool> present(e->ch.size(), false);
+    for (int r = 0; r < n_rows; r++)
+      if (ch_ids[r] >= 0 && (size_t)ch_ids[r] < e->ch.size())
+        present[ch_ids[r]] = true;
+    for (size_t c = 0; c < e->ch.size(); c++)
+      if (!present[c]) e->ch[c].silent = true;
   }
   for (int r = 0; r < n_rows; r++) {
     int32_t c = ch_ids[r];

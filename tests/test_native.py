@@ -213,3 +213,61 @@ def test_bankd_native_fanout_end_to_end():
     peak = f[np.argmax(spec[5:]) + 5]
     assert abs(peak - 400.0) < 20.0, peak
     rx.close()
+
+
+def test_pcm_fanout_marker_after_compaction_absence():
+    """A channel omitted from the compacted active set (not a silent row,
+    simply absent) must still resume with the talk-spurt marker and an
+    advanced timestamp."""
+    import select as _select
+
+    from ka9q_sdr_tpu.native import PCMFanoutSender
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+    grp, port = "239.77.3.2", 5522
+    rx = setup_mcast(f"{grp}:{port}", output=False)
+    tx = PCMFanoutSender(grp, port, ttl=0, ssrc_base=200, max_channels=8)
+    L = 480
+    tone = (1000 * np.sin(2 * np.pi * 700 * np.arange(L) / 48000)).astype(
+        np.int16
+    )
+
+    def recv_all():
+        pkts = []
+        while True:
+            r, _, _ = _select.select([rx], [], [], 0.3)
+            if not r:
+                return pkts
+            data = rx.recv(9000)
+            hdr, off = RTPHeader.from_bytes(data)
+            pkts.append(hdr)
+
+    tx.send_block(tone[None, :], np.array([3], np.int32))
+    h = recv_all()[0]
+    assert h.marker and h.timestamp == 0
+    # channel 3 drops out of the active set entirely for two blocks
+    tx.send_block(np.empty((0, L), np.int16), np.empty((0,), np.int32))
+    tx.send_block(np.empty((0, L), np.int16), np.empty((0,), np.int32))
+    assert recv_all() == []
+    # resume: marker set, timestamp reflects the two absent blocks
+    tx.send_block(tone[None, :], np.array([3], np.int32))
+    h = recv_all()[0]
+    assert h.marker, "marker lost after compaction absence"
+    assert h.timestamp == 3 * L
+    assert h.seq == 1
+    tx.close()
+    rx.close()
+
+
+def test_pcm_fanout_rejects_bad_pkt_samples():
+    from ka9q_sdr_tpu.native import PCMFanoutSender
+
+    tx = PCMFanoutSender("239.77.3.3", 5524, ttl=0, max_channels=2)
+    pcm = np.zeros((1, 960), np.int16)
+    ids = np.array([0], np.int32)
+    assert tx.send_block(pcm, ids, pkt_samples=0) == -1
+    # oversize request is clamped, not a crash: 960 nonzero samples
+    pcm1 = np.ones((1, 960), np.int16)
+    assert tx.send_block(pcm1, ids, pkt_samples=100000) >= 1
+    tx.close()
