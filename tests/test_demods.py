@@ -525,3 +525,45 @@ class TestBankISB:
         err = np.sqrt(np.mean((b_ - r_) ** 2))
         sig = np.sqrt(np.mean(r_ ** 2))
         assert err < 1e-4 * max(sig, 1e-9) + 1e-6, (err, sig)
+
+
+class TestLongBlockCadence:
+    def test_block_length_does_not_change_audio_content(self):
+        """Overlap-save output is cadence-invariant: the same signal
+        through a 20 ms-cadence bank and a long-block bank (same 1089-tap
+        channel impulse, N_dec 2048 vs 4096) recovers the same tone at
+        the same level (the throughput knob of derive_geometry must not
+        alter demodulation)."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs = 1.536e6
+        dec = 32
+        f0 = 200e3
+
+        def run(l_dec):
+            L = l_dec * dec
+            M = 1088 * dec + 1
+            cfg = make_bank_config(2, "AM", samprate=fs, L=L, M=M)
+            bank = ChannelBank(cfg, [f0, -100e3])
+            outs = []
+            # 2 s of signal for both cadences so the hang AGC fully
+            # settles; analyze the same trailing 0.5 s window
+            nblocks = max(2, round(2.0 * fs / L))
+            for b in range(nblocks):
+                tt = (b * L + np.arange(L)) / fs
+                iq = (0.3 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+                      * np.exp(2j * np.pi * f0 * tt)).astype(np.complex64)
+                audio, _ = bank.process(iq)
+                outs.append(np.asarray(audio)[0])
+            a = np.concatenate(outs)
+            a = a[-24000:]
+            spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) / len(a)
+            f = np.fft.rfftfreq(len(a), 1 / 48000)
+            pk = np.argmax(spec[5:]) + 5
+            return f[pk], spec[pk]
+
+        f_short, amp_short = run(960)     # 20 ms blocks
+        f_long, amp_long = run(3008)      # ~63 ms blocks
+        assert abs(f_short - 400.0) < 5 and abs(f_long - 400.0) < 5
+        # same audio level within 0.2 dB (response grids differ slightly)
+        assert abs(20 * np.log10(amp_long / amp_short)) < 0.2
