@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import select
 import sys
 import time
 
@@ -86,13 +87,19 @@ class BankDaemon:
         self.bank = ChannelBank(self.cfg, freqs)
         self.out_sock = None
         self.status_sock = None
+        self.cmd_sock = None
         self.compactor = StatusCompactor()
         self.status_count = 0
+        self.commands = 0
         if args.output:
             self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
             self.status_sock = setup_mcast(
                 args.output, output=True, ttl=args.ttl, offset=2
             )
+            # Command ingest on the same status group (radio.c:248-268,
+            # radio_status.c:217-318): every channel of the bank is
+            # remotely commandable, keyed by OUTPUT_SSRC.
+            self.cmd_sock = setup_mcast(args.output, output=False, offset=2)
         self.pcm = [
             PCMOutput(send=self._sender(), ssrc=i + 1)
             for i in range(len(freqs))
@@ -112,7 +119,13 @@ class BankDaemon:
                     _socket.gethostbyname(name), int(port), ttl=args.ttl,
                     ssrc_base=1, max_channels=len(freqs),
                 )
-            except Exception:
+            except Exception as e:
+                # On the 1-core host the C++ fan-out is the difference
+                # between realtime and oversubscription (CLAUDE.md);
+                # never fall back silently.
+                print(f"bankd: native PCM fan-out unavailable ({e!r}); "
+                      "falling back to the per-channel Python loop",
+                      file=sys.stderr, flush=True)
                 self.native_pcm = None
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.blocks_done = 0
@@ -201,36 +214,104 @@ class BankDaemon:
         self._last_diag = diag
         self.emit_channel_status()
 
+    def _channel_status_pkt(self, ch: int) -> bytes:
+        """One channel's status packet, keyed by OUTPUT_SSRC (the
+        per-receiver state of radio_status.c:33-212 at bank scale)."""
+        diag = getattr(self, "_last_diag", {})
+        pkt = bytearray([0])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, ch + 1)
+        st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
+                         float(self.bank.freqs[ch]))
+        st.encode_string(pkt, StatusType.RADIO_MODE, self.cfg.mode.name)
+        st.encode_float(pkt, StatusType.LOW_EDGE, self.cfg.mode.low)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, self.cfg.mode.high)
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(self.cfg.samprate))
+        st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        snr = diag.get("snr")
+        if snr is not None:
+            v = float(np.asarray(snr)[ch])
+            if np.isfinite(v):
+                st.encode_float(pkt, StatusType.DEMOD_SNR, v)
+        bb = diag.get("bb_power")
+        if bb is not None:
+            st.encode_float(pkt, StatusType.BASEBAND_POWER,
+                            float(np.asarray(bb)[ch]))
+        st.encode_eol(pkt)
+        return bytes(pkt)
+
     def emit_channel_status(self) -> None:
         """Per-channel observability (radio_status.c per-receiver state):
         round-robin a few channels per block, keyed by OUTPUT_SSRC so a
         `control` instance can watch any one channel."""
         if self.status_sock is None or not hasattr(self, "_last_diag"):
             return
-        diag = self._last_diag
         nch = self.cfg.n_channels
         start = getattr(self, "_ch_rr", 0)
         for i in range(min(4, nch)):
             ch = (start + i) % nch
-            pkt = bytearray([0])
-            st.encode_int(pkt, StatusType.OUTPUT_SSRC, ch + 1)
-            st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
-                             float(self.bank.freqs[ch]))
-            snr = diag.get("snr")
-            if snr is not None:
-                v = float(np.asarray(snr)[ch])
-                if np.isfinite(v):
-                    st.encode_float(pkt, StatusType.DEMOD_SNR, v)
-            bb = diag.get("bb_power")
-            if bb is not None:
-                st.encode_float(pkt, StatusType.BASEBAND_POWER,
-                                float(np.asarray(bb)[ch]))
-            st.encode_eol(pkt)
             try:
-                self.status_sock.send(bytes(pkt))
+                self.status_sock.send(self._channel_status_pkt(ch))
             except OSError:
                 pass
         self._ch_rr = (start + min(4, nch)) % nch
+
+    # ---- command plane ----
+
+    def handle_command(self, data: bytes) -> None:
+        """TLV command ingest (radio_status.c:217-318 command loop).
+
+        OUTPUT_SSRC addresses one channel of the bank (SSRC = index + 1,
+        the bank's published numbering): RADIO_FREQUENCY retunes that
+        channel phase-continuously (ChannelBank.tune — the radio.c:204-242
+        set_freq of a 1-channel receiver, at bank scale).  Filter-edge /
+        Kaiser-beta keys swap the bank's SHARED response (all channels of
+        a group share one response, filter.c:22-35) with no recompile.
+        Each addressed command is answered with that channel's status, as
+        the reference answers every command poll."""
+        if not data or data[0] != 1:
+            return
+        self.commands += 1
+        ssrc = None
+        freq = None
+        filt: dict = {}
+        for t, v in st.decode_packet(data[1:]):
+            if t == StatusType.OUTPUT_SSRC:
+                ssrc = int(st.decode_int(v))
+            elif t == StatusType.RADIO_FREQUENCY:
+                freq = st.decode_double(v)
+            elif t == StatusType.LOW_EDGE:
+                filt["low"] = st.decode_float(v)
+            elif t == StatusType.HIGH_EDGE:
+                filt["high"] = st.decode_float(v)
+            elif t == StatusType.KAISER_BETA:
+                filt["kaiser_beta"] = st.decode_float(v)
+        ch = None
+        if ssrc is not None and 1 <= ssrc <= self.cfg.n_channels:
+            ch = ssrc - 1
+        if freq is not None and ch is not None:
+            self.bank.tune(ch, freq)
+        if filt:
+            self.bank.set_filter(**filt)
+            self.cfg = self.bank.cfg   # edges changed; status reports them
+        if ch is not None and self.status_sock is not None:
+            try:
+                self.status_sock.send(self._channel_status_pkt(ch))
+            except OSError:
+                pass
+
+    def poll_commands(self) -> None:
+        """Drain pending command packets (non-blocking)."""
+        if self.cmd_sock is None:
+            return
+        while True:
+            ready, _, _ = select.select([self.cmd_sock], [], [], 0)
+            if not ready:
+                return
+            try:
+                self.handle_command(self.cmd_sock.recv(9000))
+            except OSError:
+                return
 
     def emit_status(self) -> None:
         if self.status_sock is None:
@@ -366,6 +447,7 @@ def main(argv=None) -> int:
     if args.iq_file:
         rd = IQReader(args.iq_file)
         for block in rd.blocks(d.cfg.master.L):
+            d.poll_commands()
             d.process_block(block)
             now = time.monotonic()
             if now - last_status >= 0.1:
@@ -393,6 +475,7 @@ def main(argv=None) -> int:
             pending = deque()
             L_dec = d.cfg.L_dec
             while True:
+                d.poll_commands()
                 block = rx.get_block_i16(1000)
                 if block is not None:
                     if args.max_active:
@@ -425,6 +508,7 @@ def main(argv=None) -> int:
             sock = setup_mcast(args.input, output=False)
             asm = BlockAssembler(d.cfg.master.L)
             while True:
+                d.poll_commands()
                 asm.push(sock.recv(65536))
                 for block in asm.blocks():
                     d.process_block(block)

@@ -62,17 +62,29 @@ _STRING_KEYS = {StatusType.RADIO_MODE}
 
 class StatusMirror:
     """Local mirror of the receiver state, filled from TLV status packets
-    (decode_status, control.c:212-411)."""
+    (decode_status, control.c:212-411).
 
-    def __init__(self):
+    ssrc: when set, packets carrying a DIFFERENT OUTPUT_SSRC are ignored —
+    this is how one channel of a bankd (many channels on one status group,
+    SSRC = channel + 1) is watched; packets without an OUTPUT_SSRC key
+    (the bank-wide status) always apply."""
+
+    def __init__(self, ssrc: int | None = None):
         self.values: dict[int, object] = {}
         self.packets = 0
+        self.ssrc = ssrc
 
     def update(self, data: bytes) -> None:
         if not data or data[0] != 0:
             return
+        pairs = list(st.decode_packet(data[1:]))
+        if self.ssrc is not None and any(
+            t == StatusType.OUTPUT_SSRC and st.decode_int(v) != self.ssrc
+            for t, v in pairs
+        ):
+            return
         self.packets += 1
-        for t, v in st.decode_packet(data[1:]):
+        for t, v in pairs:
             if t in _DOUBLE_KEYS:
                 self.values[t] = st.decode_double(v)
             elif t in _FLOAT_KEYS:
@@ -192,6 +204,10 @@ def main(argv=None) -> int:
     p.add_argument("--option", action="append", default=[],
                    choices=sorted(OPTION_COMMANDS),
                    help="set/clear an option flag ('!' prefix clears)")
+    p.add_argument("--ssrc", type=int, default=0,
+                   help="address one channel of a bankd (SSRC = channel+1): "
+                        "commands carry OUTPUT_SSRC and the dashboard "
+                        "follows only that channel's status")
     p.add_argument("--seconds", type=float, default=0.0)
     p.add_argument("--once", action="store_true", help="print one snapshot")
     args = p.parse_args(argv)
@@ -199,6 +215,8 @@ def main(argv=None) -> int:
     # Command mode: build ONE TLV packet from whatever was requested
     pkt = bytearray([1])
     sent = []
+    if args.ssrc:
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, args.ssrc)
     if args.tune:
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
                          parse_frequency(args.tune))
@@ -239,7 +257,7 @@ def main(argv=None) -> int:
         bp = None
     sock = setup_mcast(args.group, output=False, offset=2)
     sock.settimeout(1.0)
-    mirror = StatusMirror()
+    mirror = StatusMirror(args.ssrc or None)
     t0 = time.monotonic()
     try:
         while True:

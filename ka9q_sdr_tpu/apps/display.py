@@ -106,9 +106,13 @@ def send_tune(sock, freq: float) -> None:
     sock.send(bytes(pkt))
 
 
-def _send_cmd(sock, *pairs) -> None:
-    """Send one TLV command packet of (key, kind, value) triples."""
+def _send_cmd(sock, *pairs, ssrc: int = 0) -> None:
+    """Send one TLV command packet of (key, kind, value) triples.  A
+    nonzero ssrc stamps OUTPUT_SSRC first, addressing one channel of a
+    bankd (SSRC = channel index + 1)."""
     pkt = bytearray([1])
+    if ssrc:
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, ssrc)
     for key, kind, value in pairs:
         if kind == "double":
             st.encode_double(pkt, key, value)
@@ -124,8 +128,9 @@ def _send_cmd(sock, *pairs) -> None:
 
 def adjust_command(mirror, tuning: "TuningState", direction: int):
     """Map an Up/Down on the selected item to a TLV command
-    (adjust_item, display.c:137-180).  Returns (key, kind, value) or
-    None when the mirror lacks the needed current value."""
+    (adjust_item, display.c:137-180).  Returns a list of (key, kind,
+    value) triples for ONE command packet, or None when the mirror lacks
+    the needed current value."""
     g = mirror.get
     d = direction * tuning.step
     name = tuning.item_name
@@ -133,25 +138,29 @@ def adjust_command(mirror, tuning: "TuningState", direction: int):
         if getattr(tuning, "freq_lock", False):   # 'l' (display.c:140)
             return None
         f = g(StatusType.RADIO_FREQUENCY)
-        return None if f is None else (
-            StatusType.RADIO_FREQUENCY, "double", f + d)
+        return None if f is None else [
+            (StatusType.RADIO_FREQUENCY, "double", f + d)]
     if name == "if":
-        # item 3: vary RF and LO2 together, LO1 fixed (display.c:151-159)
+        # item 3: vary RF and LO2 together to keep LO1 the same
+        # (display.c:152-159: set_freq(freq + step, lo2 - step)); both
+        # keys ride one packet and radio.py applies them as one set_freq
+        f = g(StatusType.RADIO_FREQUENCY)
         lo2 = g(StatusType.SECOND_LO_FREQUENCY)
-        return None if lo2 is None else (
-            StatusType.SECOND_LO_FREQUENCY, "double", lo2 - d)
+        return None if (f is None or lo2 is None) else [
+            (StatusType.RADIO_FREQUENCY, "double", f + d),
+            (StatusType.SECOND_LO_FREQUENCY, "double", lo2 - d)]
     if name == "low":
         v = g(StatusType.LOW_EDGE)
-        return None if v is None else (StatusType.LOW_EDGE, "float", v + d)
+        return None if v is None else [(StatusType.LOW_EDGE, "float", v + d)]
     if name == "high":
         v = g(StatusType.HIGH_EDGE)
-        return None if v is None else (StatusType.HIGH_EDGE, "float", v + d)
+        return None if v is None else [(StatusType.HIGH_EDGE, "float", v + d)]
     if name == "shift":
         v = g(StatusType.SHIFT_FREQUENCY, 0.0)
-        return (StatusType.SHIFT_FREQUENCY, "double", v + d)
+        return [(StatusType.SHIFT_FREQUENCY, "double", v + d)]
     if name == "beta":
         v = g(StatusType.KAISER_BETA, 3.0)
-        return (StatusType.KAISER_BETA, "float", max(0.0, v + d))
+        return [(StatusType.KAISER_BETA, "float", max(0.0, v + d))]
     return None
 
 
@@ -302,8 +311,12 @@ def run_ui(stdscr, args):
     status_sock = setup_mcast(args.group, output=False, offset=2)
     status_sock.setblocking(False)
     cmd_sock = setup_mcast(args.group, output=True, offset=2)
-    mirror = StatusMirror()
+    ssrc = getattr(args, "ssrc", 0)
+    mirror = StatusMirror(ssrc or None)
     tuning = TuningState()
+
+    def send_cmd(*pairs):
+        _send_cmd(cmd_sock, *pairs, ssrc=ssrc)
     try:
         import importlib.resources as res
 
@@ -317,7 +330,7 @@ def run_ui(stdscr, args):
     def adjust(direction):
         cmd = adjust_command(mirror, tuning, direction)
         if cmd is not None:
-            _send_cmd(cmd_sock, cmd)
+            send_cmd(*cmd)
             return f"{tuning.item_name} {'+' if direction > 0 else '-'}" \
                    f"{tuning.step:,.0f}"
         return "no value yet"
@@ -366,7 +379,7 @@ def run_ui(stdscr, args):
         elif ch == ord("m"):
             s = _prompt(stdscr, "Mode").upper()
             if s:
-                _send_cmd(cmd_sock, (StatusType.RADIO_MODE, "string", s))
+                send_cmd( (StatusType.RADIO_MODE, "string", s))
                 msg = f"sent mode {s}"
         elif ch == ord("k"):
             s = _prompt(stdscr, "Kaiser beta")
@@ -375,7 +388,7 @@ def run_ui(stdscr, args):
             except ValueError:
                 continue
             if 0 <= b < 100:
-                _send_cmd(cmd_sock, (StatusType.KAISER_BETA, "float", b))
+                send_cmd( (StatusType.KAISER_BETA, "float", b))
                 msg = f"sent beta {b:.1f}"
         elif ch == ord("o"):
             s = _prompt(
@@ -383,7 +396,7 @@ def run_ui(stdscr, args):
             ).lower()
             if s in OPTION_KEYS:
                 key, val = OPTION_KEYS[s]
-                _send_cmd(cmd_sock, (key, "int", val))
+                send_cmd( (key, "int", val))
                 msg = f"sent {s}"
             else:
                 msg = f"unknown option {s!r}"
@@ -391,8 +404,7 @@ def run_ui(stdscr, args):
             # recenter IF at +samprate/4 (display.c:912-914)
             sr = mirror.get(StatusType.INPUT_SAMPRATE)
             if sr:
-                _send_cmd(cmd_sock,
-                          (StatusType.SECOND_LO_FREQUENCY, "double", sr / 4))
+                send_cmd((StatusType.SECOND_LO_FREQUENCY, "double", sr / 4))
                 msg = "IF recentered"
         elif ch == ord("b"):
             # blocksize: L = entry, M = L+1 at the receiver
@@ -403,11 +415,11 @@ def run_ui(stdscr, args):
             except ValueError:
                 continue
             if bs > 0:
-                _send_cmd(cmd_sock, (StatusType.FILTER_BLOCKSIZE, "int", bs))
+                send_cmd( (StatusType.FILTER_BLOCKSIZE, "int", bs))
                 msg = f"sent blocksize {bs}"
         elif ch == ord("w"):
             # save receiver state file (display.c:795-805 'w')
-            _send_cmd(cmd_sock, (StatusType.SAVE_STATE, "int", 1))
+            send_cmd( (StatusType.SAVE_STATE, "int", 1))
             msg = "state save requested"
         elif ch == ord("l"):
             # frequency lock: ignore tuning on the freq item
@@ -442,6 +454,9 @@ def run_ui(stdscr, args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="display")
     p.add_argument("group", help="receiver PCM group (status on port+2)")
+    p.add_argument("--ssrc", type=int, default=0,
+                   help="follow/command one channel of a bankd "
+                        "(SSRC = channel index + 1)")
     args = p.parse_args(argv)
     import curses
 

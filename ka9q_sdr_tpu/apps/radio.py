@@ -248,19 +248,13 @@ class RadioDaemon:
         self.commands += 1
         filt: dict = {}
         opts: dict = {}
+        new_freq = None
+        new_lo2 = None
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
-                f = st.decode_double(v)
-                lo1 = self.rx.set_freq(f)
-                self.freq = f
-                if lo1 is not None:
-                    self._send_lo1_command(lo1)
+                new_freq = st.decode_double(v)
             elif t == StatusType.SECOND_LO_FREQUENCY:
-                # explicit IF placement (display.c item 3 / 'i' recenter):
-                # keep RF, move LO2 (and LO1 with it if needed)
-                lo1 = self.rx.set_freq(self.rx.tune_freq, st.decode_double(v))
-                if lo1 is not None:
-                    self._send_lo1_command(lo1)
+                new_lo2 = st.decode_double(v)
             elif t == StatusType.RADIO_MODE:
                 # runtime mode change (set_mode, radio.c:322-374)
                 name = v.decode("ascii", "replace").strip().upper()
@@ -301,6 +295,20 @@ class RadioDaemon:
                     pass  # incompatible geometry; keep running
             elif t == StatusType.SAVE_STATE:
                 self.save_state()
+        if new_freq is not None or new_lo2 is not None:
+            # One set_freq per packet, exactly as display.c's adjust_item
+            # issues it: RADIO_FREQUENCY alone lets the receiver pick LO2
+            # (keep LO1 if it can); SECOND_LO_FREQUENCY alone keeps RF and
+            # moves the IF ('i' recenter, display.c:912-914); both together
+            # is the IF item — vary RF and LO2 to keep LO1 the same
+            # (display.c:152-159).
+            f = self.rx.tune_freq if new_freq is None else new_freq
+            lo1 = self.rx.set_freq(
+                f, np.nan if new_lo2 is None else new_lo2
+            )
+            self.freq = f
+            if lo1 is not None:
+                self._send_lo1_command(lo1)
         if filt:
             self.rx.set_filter(**filt)
         if opts:

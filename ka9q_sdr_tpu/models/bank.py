@@ -46,7 +46,6 @@ from ..ops.fftfilt import (
     FilterType,
     MasterSpec,
     SlaveSpec,
-    _cross_conj,
     master_execute,
     set_filter_response,
     slave_bin_indices,
@@ -89,6 +88,7 @@ class BankConfig(NamedTuple):
     response: np.ndarray     # shared (N_dec,) channel frequency response
     base_idx: np.ndarray     # (N_dec,) master-bin gather pattern at k=0
     demod_cfg: object
+    kaiser_beta: float = 3.0
 
     @property
     def N(self) -> int:
@@ -109,6 +109,10 @@ class BankConfig(NamedTuple):
 
 class BankState(NamedTuple):
     overlap: jax.Array     # (M-1,) complex64, shared wideband overlap
+    resp: jax.Array        # (N_dec,) complex64, shared channel frequency
+    #                        response — state, not a trace constant, so a
+    #                        filter-edge command hot-swaps it without a
+    #                        recompile (set_filter, filter.c:537-543)
     k: jax.Array           # (B,) int32, per-channel integer bin shift
     r: jax.Array           # (B,) int32, per-channel block-phase residue mod N
     dr: jax.Array          # (B,) int32, per-block residue step (k*L mod N),
@@ -179,6 +183,7 @@ def make_bank_config(
         response=response,
         base_idx=base_idx,
         demod_cfg=demod_cfg,
+        kaiser_beta=kaiser_beta,
     )
 
 
@@ -213,6 +218,7 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
 
     return BankState(
         overlap=jnp.zeros((cfg.master.M - 1,), jnp.complex64),
+        resp=jnp.asarray(cfg.response, jnp.complex64),
         k=k_arr,
         r=r0,
         dr=dr0,
@@ -261,7 +267,7 @@ def bank_channelize(
         if bin_perm is not None:
             idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
         gathered = jnp.take(fdomain, idx, axis=0)      # (B, N_dec)
-        f_fd = gathered * jnp.asarray(cfg.response)[None, :] * phi[:, None]
+        f_fd = gathered * state.resp[None, :] * phi[:, None]
         if isb:
             # The reference mixes the full LO before the FFT, so its
             # CROSS_CONJ combine sees the residual-shifted sidebands;
@@ -298,8 +304,8 @@ def bank_channelize(
         S = jax.vmap(
             lambda s: jax.lax.dynamic_slice(fdbl, (s,), (N_dec,))
         )(starts)
-        resp_rolled = np.roll(np.asarray(cfg.response), h - 1)
-        f_fd = S * jnp.asarray(resp_rolled)[None, :] * phi[:, None]
+        resp_rolled = jnp.roll(state.resp, h - 1)
+        f_fd = S * resp_rolled[None, :] * phi[:, None]
         y = jnp.fft.ifft(f_fd, axis=-1) * N_dec
         n_out = np.arange(N_dec - L_dec, N_dec)
         out_fix = np.exp(-2j * np.pi * (h - 1) * n_out / N_dec).astype(
@@ -336,6 +342,7 @@ def bank_step(
 
     new_state = BankState(
         overlap=overlap,
+        resp=state.resp,
         k=state.k,
         r=new_r,
         dr=state.dr,
@@ -563,6 +570,45 @@ class ChannelBank:
         the bin shift k and the residual NCO frequency change."""
         self.freqs[channel] = freq_hz
         self.state = bank_tune(self.cfg, self.state, channel, freq_hz)
+
+    def set_filter(
+        self,
+        low: float | None = None,
+        high: float | None = None,
+        kaiser_beta: float | None = None,
+    ) -> None:
+        """Hot-swap the bank's shared frequency response (set_filter,
+        filter.c:500-546): edges in Hz at the decimated rate.  The response
+        is a state leaf, so every jitted step variant picks it up on the
+        next block with NO recompile (the reference's response-swap mutex,
+        filter.c:537-543, as a functional update)."""
+        from dataclasses import replace as dc_replace
+
+        from ..ops.packing import c2r_np
+
+        mode = self.cfg.mode
+        low = mode.low if low is None else low
+        high = mode.high if high is None else high
+        beta = self.cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
+        out_type = (
+            FilterType.CROSS_CONJ
+            if (mode.demod == "LINEAR" and mode.isb)
+            else FilterType.COMPLEX
+        )
+        slave = SlaveSpec(self.cfg.master, self.cfg.decimate, out_type)
+        dsr = self.cfg.dsamprate
+        resp = set_filter_response(slave, low / dsr, high / dsr, beta)
+        self.cfg = self.cfg._replace(
+            mode=dc_replace(mode, low=low, high=high),
+            response=resp,
+            kaiser_beta=beta,
+        )
+        leaf = jnp.asarray(c2r_np(resp))
+        old = self.state.resp
+        sh = getattr(old, "sharding", None)
+        if sh is not None and hasattr(old, "devices"):
+            leaf = jax.device_put(leaf, sh)
+        self.state = self.state._replace(resp=leaf)
 
 
 class MultiBank:

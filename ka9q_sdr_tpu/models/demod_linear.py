@@ -151,7 +151,9 @@ class LinearState(NamedTuple):
     delta_f: jax.Array      # float32, FFT-derived offset, Hz (linear.c:108)
     lock_count: jax.Array   # int32 (linear.c:110)
     pll_lock: jax.Array     # bool
-    snr: jax.Array          # float32, smoothed PLL SNR
+    snr: jax.Array          # float32, previous block's PLL SNR — the C
+    #                         keeps it unsmoothed too (linear.c:304-309);
+    #                         the lock detector reads it next block
     fft_ring: Optional[jax.Array]   # (ring_size,) complex64, newest last,
     #                                 at the acq_decim-decimated rate
     fft_samples: jax.Array  # int32, decimated samples since last acq FFT
@@ -160,6 +162,23 @@ class LinearState(NamedTuple):
 
 
 def linear_init(cfg: LinearConfig, batch_shape=()) -> LinearState:
+    if cfg.pll:
+        # Guard configs built without LinearConfig.make: a bad acq_decim
+        # silently breaks the ring-window math (_acquire wraps when the
+        # search window outgrows the decimated ring).
+        d = cfg.acq_decim
+        if d < 1 or (d & (d - 1)):
+            raise ValueError(f"acq_decim={d} must be a power of two")
+        block_len = round(cfg.blocktime / cfg.samptime)
+        if block_len % d:
+            raise ValueError(
+                f"acq_decim={d} does not divide block_len={block_len}"
+            )
+        if cfg.ring_size <= 2 * cfg.search_bins:
+            raise ValueError(
+                f"acq_decim={d}: ring_size={cfg.ring_size} cannot hold the "
+                f"±{cfg.search_bins}-bin search window; decimate less"
+            )
     shift = osc_init()
     if cfg.shift_freq != 0.0:
         shift = set_osc(shift, cfg.shift_freq)
@@ -363,7 +382,7 @@ def linear_demod(
     new_state = state._replace(
         agc=new_agc,
         shift=shift,
-        snr=jnp.where(jnp.isnan(snr), state.snr, snr) if cfg.pll else state.snr,
+        snr=snr if cfg.pll else state.snr,
     )
 
     if cfg.channels == 1:

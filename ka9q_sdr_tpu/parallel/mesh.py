@@ -9,10 +9,11 @@ to HBM traffic and replicating it avoids any collective, so the sharding is:
   the audio output: sharded on the leading channel axis.
 
 XLA then partitions the gather and the batched IFFTs/demods across devices
-with zero communication.  If the wideband FFT itself ever dominates (north
-star >100 Msps), shard the *frequency* axis of the master FFT instead and
-all_gather only each device's gathered channel bins — the hook for that is
-make_sharded_bank_step's `shard_fft` flag (not yet implemented).
+with zero communication.  When the wideband FFT itself dominates (north
+star >100 Msps), make_sharded_bank_step's `shard_fft=True` distributes the
+master FFT too (_bank_step_packed_dfft): the two-step decomposition in
+parallel.dfft computes a comb-distributed spectrum with one reduce_scatter
+over ICI and each device gathers its channels' bins straight from the comb.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ def bank_state_shardings(mesh: Mesh, state: BankState) -> BankState:
     ch_tree = lambda t: jax.tree_util.tree_map(ch_of, t)
     return BankState(
         overlap=rep,
+        resp=rep,
         k=ch_of(state.k),
         r=ch_of(state.r),
         dr=ch_of(state.dr),
@@ -160,6 +162,7 @@ def _bank_step_packed_dfft(cfg: BankConfig, mesh: Mesh, template):
         dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
         new_state = BankState(
             overlap=new_overlap,
+            resp=state.resp,
             k=state.k,
             r=new_r,
             dr=state.dr,

@@ -514,8 +514,26 @@ class TestLiveParameterEditing:
         lo2_before = d.rx.second_lo
         self._cmd(d, (StatusType.SECOND_LO_FREQUENCY, "double", 48000.0))
         assert d.rx.second_lo == 48000.0
-        assert d.rx.tune_freq == 30000.0   # RF preserved (display.c:151-159)
+        assert d.rx.tune_freq == 30000.0   # RF preserved ('i' recenter)
         assert d.rx.second_lo != lo2_before
+
+    def test_if_item_keeps_lo1(self, am_recording):
+        # display.c:152-159 IF item: RADIO_FREQUENCY and SECOND_LO_FREQUENCY
+        # in ONE packet are applied as one set_freq — RF and LO2 move
+        # together and LO1 stays put (no command to the front end)
+        d = self._daemon(am_recording)
+        d.rx.set_freq(30000.0)
+        lo1_before = d.rx.sdr.frequency
+        f, lo2 = d.rx.tune_freq, d.rx.second_lo
+        sent = []
+        d._send_lo1_command = lambda lo1: sent.append(lo1)
+        self._cmd(d,
+                  (StatusType.RADIO_FREQUENCY, "double", f + 100.0),
+                  (StatusType.SECOND_LO_FREQUENCY, "double", lo2 - 100.0))
+        assert d.rx.tune_freq == f + 100.0
+        assert d.rx.second_lo == lo2 - 100.0
+        assert d.rx.sdr.frequency == lo1_before
+        assert sent == []   # LO1 unchanged => no front-end command
 
     def test_status_reports_live_values(self, am_recording):
         d = self._daemon(am_recording)
@@ -547,22 +565,26 @@ class TestDisplayAdjust:
         m.update(bytes(pkt))
         t = TuningState(step_log10=2)   # 100 Hz step
         # freq item
-        key, kind, val = adjust_command(m, t, +1)
+        [(key, kind, val)] = adjust_command(m, t, +1)
         assert key == StatusType.RADIO_FREQUENCY and val == 147435100.0
         t.next_item()   # "if"
-        key, kind, val = adjust_command(m, t, +1)
-        assert key == StatusType.SECOND_LO_FREQUENCY
-        assert val == -48100.0          # IF +100 = LO2 -100
+        # display.c:152-159: vary RF and LO2 together, LO1 fixed — both
+        # keys in one packet
+        pairs = adjust_command(m, t, +1)
+        assert pairs == [
+            (StatusType.RADIO_FREQUENCY, "double", 147435100.0),
+            (StatusType.SECOND_LO_FREQUENCY, "double", -48100.0),
+        ]
         t.next_item()   # "low"
-        key, _, val = adjust_command(m, t, -1)
+        [(key, _, val)] = adjust_command(m, t, -1)
         assert key == StatusType.LOW_EDGE and val == -5100.0
         t.next_item()   # "high"
         t.next_item()   # "shift"
-        key, _, val = adjust_command(m, t, +1)
+        [(key, _, val)] = adjust_command(m, t, +1)
         assert key == StatusType.SHIFT_FREQUENCY and val == 100.0
         t.next_item()   # "beta"
         t.step_log10 = 0
-        key, _, val = adjust_command(m, t, +1)
+        [(key, _, val)] = adjust_command(m, t, +1)
         assert key == StatusType.KAISER_BETA and val == 4.0
 
 

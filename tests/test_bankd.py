@@ -1,0 +1,217 @@
+"""bankd command plane: the flagship bank is remotely commandable over
+TLV exactly like every reference receiver (radio.c:248-268 retune;
+radio_status.c:217-318 command ingest loop), keyed by OUTPUT_SSRC
+(SSRC = channel index + 1).
+
+All wire tests run over real multicast loopback — the reference's own
+multi-node-without-a-cluster method (SURVEY.md §4 item 5).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from ka9q_sdr_tpu.net import status as st
+from ka9q_sdr_tpu.net.status import StatusType
+
+SAMPRATE = 1.536e6
+L, M = 3840, 4353          # N=8192, decim 32 -> N_dec=256, L_dec=120
+N_CH = 8
+GROUP = "239.88.7.1:5204"  # unique to this module
+
+
+def _freqs(n=N_CH):
+    usable = 0.9 * SAMPRATE
+    return list(np.linspace(-usable / 2, usable / 2, n, endpoint=False))
+
+
+def _am(freq, t):
+    """AM carrier: 400 Hz tone, 80% modulation."""
+    return (0.1 * (1.0 + 0.8 * np.sin(2 * np.pi * 400.0 * t))
+            * np.exp(2j * np.pi * freq * t))
+
+
+def _blocks(n_blocks, extra_freq):
+    """Wideband blocks: AM signals on channel 5's frequency and on
+    extra_freq (initially between channels)."""
+    freqs = _freqs()
+    out = []
+    for b in range(n_blocks):
+        t = (b * L + np.arange(L)) / SAMPRATE
+        x = _am(freqs[5], t) + _am(extra_freq, t)
+        out.append(x.astype(np.complex64))
+    return out
+
+
+def _daemon(tmp_path, tag, output=None):
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "-m", "AM",
+            "--L", str(L), "--M", str(M),
+            "--pcm-raw", str(tmp_path / f"{tag}.pcm"), "--no-native"]
+    if output:
+        argv += ["-R", output]
+    args = build_parser().parse_args(argv)
+    return BankDaemon(args, _freqs())
+
+
+def _read_pcm(path, n_ch=N_CH):
+    """pcm-raw file -> (blocks, n_ch, L_dec) int16."""
+    a = np.frombuffer(open(path, "rb").read(), "<i2")
+    l_dec = L // 32
+    return a.reshape(-1, n_ch, l_dec)
+
+
+class TestBankdCommandPlane:
+    def test_retune_over_wire_mid_run(self, tmp_path):
+        """control --ssrc N --tune retunes bank channel N-1 mid-run over
+        the wire; that channel's PCM follows the new frequency while every
+        other channel's audio is bit-unchanged (vs an uncommanded run)."""
+        from ka9q_sdr_tpu.apps import control
+
+        f_new = 310_000.0   # off-grid: no channel starts here
+        blocks = _blocks(12, f_new)
+
+        a = _daemon(tmp_path, "a", output=GROUP)   # commanded
+        b = _daemon(tmp_path, "b")                 # reference run
+        for blk in blocks[:4]:
+            a.process_block(blk)
+            b.process_block(blk)
+
+        # the real wire: control builds the TLV packet and multicasts it
+        rc = control.main(
+            [GROUP, "--ssrc", "4", "--tune", str(int(f_new))]
+        )
+        assert rc == 0
+        time.sleep(0.2)
+        a.poll_commands()
+        assert a.commands == 1
+        assert a.bank.freqs[3] == f_new
+
+        for blk in blocks[4:]:
+            a.process_block(blk)
+            b.process_block(blk)
+        a.flush()
+        b.flush()
+        a.raw.close()
+        b.raw.close()
+
+        pa = _read_pcm(tmp_path / "a.pcm")
+        pb = _read_pcm(tmp_path / "b.pcm")
+        assert pa.shape == pb.shape == (12, N_CH, 120)
+
+        # neighbors: bit-identical through the whole run
+        others = [c for c in range(N_CH) if c != 3]
+        np.testing.assert_array_equal(pa[:, others], pb[:, others])
+
+        # channel 3: silent before the retune in both runs ...
+        assert np.abs(pa[:4, 3]).max() == np.abs(pb[:4, 3]).max()
+        # ... and the commanded run's PCM follows the new signal: the
+        # 400 Hz AM tone appears (uncommanded stays near-silent)
+        tail_a = pa[8:, 3].ravel().astype(np.float32)
+        tail_b = pb[8:, 3].ravel().astype(np.float32)
+        rms_a = np.sqrt(np.mean(tail_a**2))
+        rms_b = np.sqrt(np.mean(tail_b**2))
+        assert rms_a > 10.0 * max(rms_b, 1.0)
+        spec = np.abs(np.fft.rfft(tail_a * np.hanning(len(tail_a))))
+        f = np.fft.rfftfreq(len(tail_a), 1.0 / 48000.0)
+        assert abs(f[np.argmax(spec[3:]) + 3] - 400.0) < 30.0
+
+    def test_command_answered_with_channel_status(self, tmp_path):
+        """Each addressed command is answered with that channel's status
+        (the reference answers every command poll, radio_status.c)."""
+        d = _daemon(tmp_path, "s", output=GROUP)
+        sent = []
+        d.status_sock = type("S", (), {"send": lambda s, b: sent.append(b)})()
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 2)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 123_456.0)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.bank.freqs[1] == 123_456.0
+        assert len(sent) == 1 and sent[0][0] == 0
+        items = dict(st.decode_packet(sent[0][1:]))
+        assert st.decode_int(items[StatusType.OUTPUT_SSRC]) == 2
+        assert st.decode_double(items[StatusType.RADIO_FREQUENCY]) == 123_456.0
+        assert items[StatusType.RADIO_MODE].decode() == "AM"
+
+    def test_out_of_range_ssrc_ignored(self, tmp_path):
+        d = _daemon(tmp_path, "x", output=GROUP)
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 99)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1.0)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert all(f != 1.0 for f in d.bank.freqs)
+
+    def test_filter_edge_command_swaps_shared_response(self, tmp_path):
+        """LOW/HIGH_EDGE commands hot-swap the bank's SHARED response
+        (set_filter, filter.c:500-546) with no recompile: narrowing the
+        passband to exclude the 2 kHz audio tone kills it on every
+        channel.  USB bank: a carrier 2 kHz above channel 5's frequency
+        demodulates to a 2 kHz tone inside the default 100-3000 Hz
+        passband."""
+        from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+        argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "-m", "USB",
+                "--L", str(L), "--M", str(M),
+                "--pcm-raw", str(tmp_path / "f.pcm"), "--no-native",
+                "-R", GROUP]
+        d = BankDaemon(build_parser().parse_args(argv), _freqs())
+        step0 = d.bank._step
+        freqs = _freqs()
+        blocks = []
+        for b in range(10):
+            t = (b * L + np.arange(L)) / SAMPRATE
+            blocks.append(
+                (0.1 * np.exp(2j * np.pi * (freqs[5] + 2000.0) * t))
+                .astype(np.complex64))
+        for blk in blocks[:5]:
+            d.process_block(blk)
+        pkt = bytearray([1])
+        st.encode_float(pkt, StatusType.LOW_EDGE, 100.0)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, 250.0)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.bank.cfg.mode.low == 100.0
+        assert d.bank.cfg.mode.high == 250.0
+        assert d.bank._step is step0            # NO recompile
+        for blk in blocks[5:]:
+            d.process_block(blk)
+        d.flush()
+        d.raw.close()
+        pcm = _read_pcm(tmp_path / "f.pcm").astype(np.float32)
+        before = pcm[3:5, 5].ravel()
+        after = pcm[8:, 5].ravel()
+        rms = lambda x: np.sqrt(np.mean(x**2))
+        # 2 kHz tone present before, crushed by the narrowed response
+        assert rms(before) > 100.0
+        assert rms(after) < 0.05 * rms(before)
+
+
+class TestBankdStatusAddressing:
+    def test_mirror_follows_one_channel(self, tmp_path):
+        """display/control --ssrc: the StatusMirror keeps only the
+        addressed channel's per-channel status packets."""
+        from ka9q_sdr_tpu.apps.control import StatusMirror
+
+        d = _daemon(tmp_path, "m", output=GROUP)
+        d._last_diag = {}
+        m = StatusMirror(ssrc=4)
+        m.update(d._channel_status_pkt(3))   # ssrc 4 -> kept
+        assert m.get(StatusType.OUTPUT_SSRC) == 4
+        f3 = m.get(StatusType.RADIO_FREQUENCY)
+        m.update(d._channel_status_pkt(5))   # ssrc 6 -> ignored
+        assert m.get(StatusType.RADIO_FREQUENCY) == f3
+
+    def test_display_send_cmd_stamps_ssrc(self):
+        from ka9q_sdr_tpu.apps.display import _send_cmd
+
+        sent = []
+        sock = type("S", (), {"send": lambda s, b: sent.append(b)})()
+        _send_cmd(sock, (StatusType.RADIO_FREQUENCY, "double", 7e6), ssrc=4)
+        assert sent[0][0] == 1
+        pairs = list(st.decode_packet(sent[0][1:]))
+        assert pairs[0][0] == StatusType.OUTPUT_SSRC
+        assert st.decode_int(pairs[0][1]) == 4
