@@ -81,10 +81,29 @@ class BankDaemon:
             L, M = args.L, args.M
         else:
             L, M = derive_geometry(samprate, getattr(args, "block_ms", 20.0))
+        # --mesh N: one logical bank spanning N chips (SURVEY §2.7,
+        # filter.c:22-35 fan-out over ICI).  The channel axis is padded to
+        # a device multiple; padded channels demodulate but never emit.
+        self.n_real = len(freqs)
+        mesh = None
+        if getattr(args, "mesh", 0):
+            from ..parallel.mesh import make_channel_mesh, pad_channels
+
+            mesh = make_channel_mesh(args.mesh)
+            freqs = pad_channels(freqs, mesh.devices.size)
+            if len(freqs) != self.n_real:
+                print(
+                    f"bankd: padded {self.n_real} channels to {len(freqs)} "
+                    f"for the {mesh.devices.size}-device mesh",
+                    file=sys.stderr, flush=True,
+                )
         self.cfg = make_bank_config(
             len(freqs), args.mode, samprate=samprate, L=L, M=M
         )
-        self.bank = ChannelBank(self.cfg, freqs)
+        self.bank = ChannelBank(
+            self.cfg, freqs, mesh=mesh,
+            shard_fft=getattr(args, "shard_fft", False),
+        )
         self.out_sock = None
         self.status_sock = None
         self.cmd_sock = None
@@ -102,7 +121,7 @@ class BankDaemon:
             self.cmd_sock = setup_mcast(args.output, output=False, offset=2)
         self.pcm = [
             PCMOutput(send=self._sender(), ssrc=i + 1)
-            for i in range(len(freqs))
+            for i in range(self.n_real)
         ]
         # Native fan-out: per-block C packetisation of the whole bank's
         # mono PCM (byte swap, silence suppression, markers) — the 1-core
@@ -117,7 +136,7 @@ class BankDaemon:
 
                 self.native_pcm = PCMFanoutSender(
                     _socket.gethostbyname(name), int(port), ttl=args.ttl,
-                    ssrc_base=1, max_channels=len(freqs),
+                    ssrc_base=1, max_channels=self.n_real,
                 )
             except Exception as e:
                 # On the 1-core host the C++ fan-out is the difference
@@ -164,7 +183,7 @@ class BankDaemon:
             self._pending = None
 
     def _emit(self, audio, diag) -> None:
-        a = np.asarray(audio)
+        a = np.asarray(audio)[: self.n_real]   # drop mesh-padding rows
         if a.dtype == np.int16:
             # device-side scaleclip already applied (process_i16_pcm)
             if self.native_pcm is not None and a.ndim == 2:
@@ -203,7 +222,7 @@ class BankDaemon:
             return
         active = set()
         for row, ch in enumerate(idx):
-            if ch >= 0:
+            if 0 <= ch < self.n_real:   # mesh-padding rows never emit
                 active.add(int(ch))
                 self.pcm[int(ch)].send_mono_i16(pcm[row])
         for ch, out in enumerate(self.pcm):
@@ -246,7 +265,7 @@ class BankDaemon:
         `control` instance can watch any one channel."""
         if self.status_sock is None or not hasattr(self, "_last_diag"):
             return
-        nch = self.cfg.n_channels
+        nch = self.n_real
         start = getattr(self, "_ch_rr", 0)
         for i in range(min(4, nch)):
             ch = (start + i) % nch
@@ -287,7 +306,7 @@ class BankDaemon:
             elif t == StatusType.KAISER_BETA:
                 filt["kaiser_beta"] = st.decode_float(v)
         ch = None
-        if ssrc is not None and 1 <= ssrc <= self.cfg.n_channels:
+        if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
         if freq is not None and ch is not None:
             self.bank.tune(ch, freq)
@@ -320,7 +339,7 @@ class BankDaemon:
         st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
         st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(self.cfg.samprate))
         st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
-        st.encode_int(pkt, StatusType.OUTPUT_CHANNELS, self.cfg.n_channels)
+        st.encode_int(pkt, StatusType.OUTPUT_CHANNELS, self.n_real)
         st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, self.cfg.master.L)
         st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, self.cfg.master.M)
         st.encode_string(pkt, StatusType.RADIO_MODE, self.cfg.mode.name)
@@ -408,6 +427,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-active", type=int, default=0, metavar="N",
                    help="serve only the N loudest non-silent channels "
                         "(device-side squelch compaction; 0 = all)")
+    p.add_argument("--mesh", type=int, default=0, metavar="D",
+                   help="shard the channel axis over a D-device mesh "
+                        "(one logical bank spanning chips; channels are "
+                        "padded to a device multiple)")
+    p.add_argument("--shard-fft", action="store_true",
+                   help="with --mesh: distribute the wideband master FFT "
+                        "itself (the >100 Msps sequence-scaling path)")
     p.add_argument("--profile", metavar="DIR",
                    help="write a JAX profiler trace for the first second")
     return p
@@ -479,8 +505,9 @@ def main(argv=None) -> int:
                 block = rx.get_block_i16(1000)
                 if block is not None:
                     if args.max_active:
+                        nv = d.n_real if d.n_real != d.cfg.n_channels else None
                         pcm, idx, diag = d.bank.process_active(
-                            block, args.max_active)
+                            block, args.max_active, n_valid=nv)
                         for arr in (pcm, idx):
                             try:
                                 arr.copy_to_host_async()

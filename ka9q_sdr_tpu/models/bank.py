@@ -420,7 +420,8 @@ def bank_scan_packed_i16(cfg: BankConfig, template, pcm_out: bool = False):
     return packed
 
 
-def bank_step_active(cfg: BankConfig, template, max_active: int):
+def bank_step_active(cfg: BankConfig, template, max_active: int,
+                     n_valid: int | None = None):
     """bank_step with device-side ACTIVE-CHANNEL COMPACTION — the
     reference's silence suppression (audio.c:102-113) lifted to the bank:
     squelched/silent channels never cross the host boundary.
@@ -428,7 +429,10 @@ def bank_step_active(cfg: BankConfig, template, max_active: int):
     Returns (state, pcm_i16 (max_active, L_dec), idx (max_active,) int32,
     diag): the top-max_active channels by audio peak, already scaleclipped
     to int16 on device; idx[i] = -1 marks unused slots (channel silent).
-    Download shrinks from n_channels*L_dec to max_active*L_dec."""
+    Download shrinks from n_channels*L_dec to max_active*L_dec.
+
+    n_valid: only the first n_valid channels compete for slots (mesh
+    padding rows are excluded from the top_k, parallel.mesh.pad_channels)."""
     from ..ops.packing import tree_c2r, tree_r2c, r2c
 
     def packed(state_r, x_i16):
@@ -437,6 +441,9 @@ def bank_step_active(cfg: BankConfig, template, max_active: int):
         new_state, audio, diag = bank_step(cfg, state, r2c(x))
         flat = audio.reshape(audio.shape[0], -1)
         peak = jnp.max(jnp.abs(flat), axis=-1)
+        if n_valid is not None and n_valid < flat.shape[0]:
+            peak = jnp.where(jnp.arange(flat.shape[0]) < n_valid,
+                             peak, -jnp.inf)
         score, idx = jax.lax.top_k(peak, max_active)
         sel = jnp.take(flat, idx, axis=0)
         pcm = jnp.clip(sel * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
@@ -490,13 +497,28 @@ class ChannelBank:
     """Host wrapper: config + state + jitted step + per-channel retune.
 
     State is held host/device-side in packed (real) form between calls;
-    the jitted step unpacks, runs, repacks (see bank_step_packed)."""
+    the jitted step unpacks, runs, repacks (see bank_step_packed).
 
-    def __init__(self, cfg: BankConfig, freqs_hz: Sequence[float]):
+    mesh: a jax.sharding.Mesh to shard the channel axis over (one logical
+    receiver spanning chips — the master/slave fan-out of filter.c:22-35
+    at multi-chip scale, SURVEY §2.7).  cfg.n_channels must be a multiple
+    of the device count (parallel.mesh.pad_channels pads a frequency
+    list).  shard_fft additionally distributes the wideband master FFT
+    (the >100 Msps sequence-scaling path, parallel.dfft)."""
+
+    def __init__(
+        self,
+        cfg: BankConfig,
+        freqs_hz: Sequence[float],
+        mesh=None,
+        shard_fft: bool = False,
+    ):
         from ..ops.packing import tree_c2r_np
 
         self.cfg = cfg
         self.freqs = list(freqs_hz)
+        self.mesh = mesh
+        self.shard_fft = shard_fft
         # Build the initial state on the host CPU backend: complex arrays
         # cannot be fetched from the target TPU runtime.
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -504,7 +526,25 @@ class ChannelBank:
             self.state = tree_c2r_np(
                 jax.tree_util.tree_map(np.asarray, self._template)
             )
-        self._step = jax.jit(bank_step_packed(cfg, self._template))
+        if mesh is not None:
+            from ..parallel.mesh import make_sharded_bank_step
+
+            self._step, self.state = make_sharded_bank_step(
+                cfg, mesh, self._template, self.state, shard_fft=shard_fft
+            )
+        else:
+            self._step = jax.jit(bank_step_packed(cfg, self._template))
+
+    def _sharded_variant(self, ingest: str, pcm_out: bool):
+        """Sharded twin of the lazy single-chip step variants: same
+        program, channel-axis in/out shardings (parallel.mesh)."""
+        from ..parallel.mesh import make_sharded_bank_step
+
+        step, _ = make_sharded_bank_step(
+            self.cfg, self.mesh, self._template, self.state,
+            shard_fft=self.shard_fft, ingest=ingest, pcm_out=pcm_out,
+        )
+        return step
 
     def process(self, iq_block):
         """iq_block: (L,) complex (numpy ok).  Returns (audio, diag)."""
@@ -520,11 +560,14 @@ class ChannelBank:
 
     def process_i16(self, x_i16):
         """Raw (L, 2) int16 ingest (native engine's get_block_i16): half
-        the upload bytes, conversion fused on-device."""
+        the host->device bytes with the scale conversion fused on-device."""
         if not hasattr(self, "_step_i16"):
-            self._step_i16 = jax.jit(
-                bank_step_packed_i16(self.cfg, self._template)
-            )
+            if self.mesh is not None:
+                self._step_i16 = self._sharded_variant("i16", False)
+            else:
+                self._step_i16 = jax.jit(
+                    bank_step_packed_i16(self.cfg, self._template)
+                )
         self.state, audio, diag = self._step_i16(self.state, x_i16)
         return audio, diag
 
@@ -532,9 +575,13 @@ class ChannelBank:
         """int16 in, int16 PCM out: both transfers halved, clip/scale on
         the device.  Audio comes back as int16 ready for byte-swap."""
         if not hasattr(self, "_step_i16_pcm"):
-            self._step_i16_pcm = jax.jit(
-                bank_step_packed_i16(self.cfg, self._template, pcm_out=True)
-            )
+            if self.mesh is not None:
+                self._step_i16_pcm = self._sharded_variant("i16", True)
+            else:
+                self._step_i16_pcm = jax.jit(
+                    bank_step_packed_i16(self.cfg, self._template,
+                                         pcm_out=True)
+                )
         self.state, audio, diag = self._step_i16_pcm(self.state, x_i16)
         return audio, diag
 
@@ -546,21 +593,53 @@ class ChannelBank:
         if not hasattr(self, "_scans"):
             self._scans = {}
         if key not in self._scans:
-            self._scans[key] = jax.jit(
-                bank_scan_packed_i16(self.cfg, self._template, pcm_out)
-            )
+            fn = bank_scan_packed_i16(self.cfg, self._template, pcm_out)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import (
+                    CHANNEL_AXIS, bank_state_shardings,
+                )
+
+                sh = bank_state_shardings(self.mesh, self.state)
+                self._scans[key] = jax.jit(
+                    fn,
+                    in_shardings=(sh, NamedSharding(self.mesh,
+                                                    PartitionSpec())),
+                    out_shardings=(
+                        sh,
+                        NamedSharding(self.mesh,
+                                      PartitionSpec(None, CHANNEL_AXIS)),
+                    ),
+                )
+            else:
+                self._scans[key] = jax.jit(fn)
         self.state, audio = self._scans[key](self.state, x_i16_blocks)
         return audio
 
-    def process_active(self, x_i16, max_active: int = 64):
+    def process_active(self, x_i16, max_active: int = 64,
+                       n_valid: int | None = None):
         """int16 in; compacted int16 PCM of the top-max_active non-silent
         channels out, plus their channel indices (-1 = unused slot).  The
-        serving path for large banks: silent channels stay on-chip."""
-        if getattr(self, "_max_active", None) != max_active:
-            self._max_active = max_active
-            self._step_active = jax.jit(
-                bank_step_active(self.cfg, self._template, max_active)
-            )
+        serving path for large banks: silent channels stay on-chip.
+        n_valid excludes mesh-padding rows from the compaction."""
+        if getattr(self, "_max_active", None) != (max_active, n_valid):
+            self._max_active = (max_active, n_valid)
+            fn = bank_step_active(self.cfg, self._template, max_active,
+                                  n_valid=n_valid)
+            if self.mesh is not None:
+                # top_k runs over the sharded peak vector (B floats — the
+                # cross-device part is tiny); pcm/idx come back replicated
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import bank_state_shardings
+
+                sh = bank_state_shardings(self.mesh, self.state)
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                self._step_active = jax.jit(
+                    fn, in_shardings=(sh, rep),
+                    out_shardings=(sh, rep, rep, None),
+                )
+            else:
+                self._step_active = jax.jit(fn)
         self.state, pcm, idx, diag = self._step_active(self.state, x_i16)
         return pcm, idx, diag
 

@@ -32,6 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.fftfilt import FOURSTEP_MIN, fft_fourstep
+
 __all__ = ["dfft", "undo_comb", "make_dfft", "make_dfft_sm", "comb_index"]
 
 
@@ -71,6 +73,12 @@ def make_dfft_sm(mesh: Mesh, N: int, axis: str = "ch"):
         tw = jnp.exp(
             (-2j * jnp.pi / N) * (jj.astype(jnp.float32) * q.astype(jnp.float32))
         ).astype(jnp.complex64)
+        # the per-device FFT is itself large at flagship N (N=2^20 over 8
+        # devices -> Q=2^17): use the four-step decomposition above the
+        # same threshold as the replicated master (ops.fftfilt, measured
+        # ~6x on TPU for monolithic large 1D FFTs)
+        if Q >= FOURSTEP_MIN:
+            return fft_fourstep(y * tw)
         return jnp.fft.fft(y * tw)
 
     return shard_map(

@@ -29,6 +29,7 @@ __all__ = [
     "bank_state_shardings",
     "shard_bank_state",
     "make_sharded_bank_step",
+    "pad_channels",
 ]
 
 CHANNEL_AXIS = "ch"
@@ -72,14 +73,34 @@ def shard_bank_state(mesh: Mesh, state: BankState) -> BankState:
     )
 
 
+def pad_channels(freqs, n_devices: int):
+    """Pad a frequency list to a multiple of the device count (spare
+    channels cost ~nothing — they ride the batched IFFT/demod).  The pads
+    duplicate the last frequency; callers keep n_real = len(freqs) and
+    ignore the padded audio rows."""
+    freqs = list(freqs)
+    rem = len(freqs) % n_devices
+    if rem:
+        freqs = freqs + [freqs[-1]] * (n_devices - rem)
+    return freqs
+
+
 def make_sharded_bank_step(
     cfg: BankConfig,
     mesh: Mesh,
     template,
     packed_state,
     shard_fft: bool = False,
+    ingest: str = "f32",
+    pcm_out: bool = False,
 ):
     """jit the packed bank step with channel-axis input shardings.
+
+    ingest: "f32" = packed (L, 2) float32 I/Q (bank_step_packed);
+    "i16" = raw (L, 2) int16 with the scale conversion fused on-device
+    (bank_step_packed_i16); pcm_out additionally quantises the audio to
+    int16 on device (only with ingest="i16", matching the single-chip
+    variants).
 
     shard_fft=True additionally distributes the wideband master FFT itself
     across the mesh (the >100 Msps sequence-scaling path, SURVEY §5): the
@@ -105,10 +126,20 @@ def make_sharded_bank_step(
             f"{n_dev}-device mesh; pad the bank to a multiple of "
             f"{n_dev} channels (spare channels cost ~nothing)"
         )
+    if ingest not in ("f32", "i16"):
+        raise ValueError(f"ingest must be 'f32' or 'i16', got {ingest!r}")
+    if pcm_out and ingest != "i16":
+        raise ValueError("pcm_out requires ingest='i16'")
     shardings = bank_state_shardings(mesh, packed_state)
     x_sh = NamedSharding(mesh, P())  # wideband block replicated
     if shard_fft:
-        fn = _bank_step_packed_dfft(cfg, mesh, template)
+        fn = _bank_step_packed_dfft(
+            cfg, mesh, template, ingest=ingest, pcm_out=pcm_out
+        )
+    elif ingest == "i16":
+        from ..models.bank import bank_step_packed_i16
+
+        fn = bank_step_packed_i16(cfg, template, pcm_out=pcm_out)
     else:
         fn = bank_step_packed(cfg, template)
     # Pin the state's *output* shardings too: otherwise XLA may return a
@@ -128,13 +159,16 @@ def make_sharded_bank_step(
     )
 
 
-def _bank_step_packed_dfft(cfg: BankConfig, mesh: Mesh, template):
+def _bank_step_packed_dfft(
+    cfg: BankConfig, mesh: Mesh, template,
+    ingest: str = "f32", pcm_out: bool = False,
+):
     """Packed bank step whose master FFT is the distributed two-step FFT.
 
     Same semantics as models.bank.bank_step_packed (radio.c:106-147 sample
     path, filter.c:146-172 overlap-save) with the N-point forward FFT
     computed across the mesh and channels reading true bin b at comb
-    position comb_index[b]."""
+    position comb_index[b].  ingest/pcm_out as in make_sharded_bank_step."""
     import jax.numpy as jnp
 
     from ..models.bank import BankState, bank_channelize, bank_demod
@@ -150,7 +184,11 @@ def _bank_step_packed_dfft(cfg: BankConfig, mesh: Mesh, template):
     perm = jnp.asarray(comb_index(cfg.N, n_dev).astype(np.int32))
     L = cfg.master.L
 
-    def packed(state_r, x_r):
+    def packed(state_r, x_in):
+        if ingest == "i16":
+            x_r = x_in.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+        else:
+            x_r = x_in
         state = tree_r2c(state_r, template)
         samp = r2c(x_r) * state.gain_factor
         buf = jnp.concatenate([state.overlap, samp], axis=-1)
@@ -160,6 +198,10 @@ def _bank_step_packed_dfft(cfg: BankConfig, mesh: Mesh, template):
             cfg, state, comb, bin_perm=perm
         )
         dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
+        if pcm_out:
+            audio = jnp.clip(
+                audio * 32767.0, -32768.0, 32767.0
+            ).astype(jnp.int16)
         new_state = BankState(
             overlap=new_overlap,
             resp=state.resp,

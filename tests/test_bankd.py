@@ -44,7 +44,7 @@ def _blocks(n_blocks, extra_freq):
     return out
 
 
-def _daemon(tmp_path, tag, output=None):
+def _daemon(tmp_path, tag, output=None, mesh=0, n_ch=N_CH, shard_fft=False):
     from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
 
     argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "-m", "AM",
@@ -52,8 +52,12 @@ def _daemon(tmp_path, tag, output=None):
             "--pcm-raw", str(tmp_path / f"{tag}.pcm"), "--no-native"]
     if output:
         argv += ["-R", output]
+    if mesh:
+        argv += ["--mesh", str(mesh)]
+    if shard_fft:
+        argv += ["--shard-fft"]
     args = build_parser().parse_args(argv)
-    return BankDaemon(args, _freqs())
+    return BankDaemon(args, _freqs(n_ch))
 
 
 def _read_pcm(path, n_ch=N_CH):
@@ -188,6 +192,84 @@ class TestBankdCommandPlane:
         # 2 kHz tone present before, crushed by the narrowed response
         assert rms(before) > 100.0
         assert rms(after) < 0.05 * rms(before)
+
+
+class TestBankdMesh:
+    """bankd --mesh D: one logical bank spanning D chips (SURVEY §2.7,
+    filter.c:22-35 fan-out over ICI), tested on the 8-virtual-device CPU
+    mesh.  The sharded daemon must be operationally identical to the
+    single-device one: same PCM bytes, working command plane."""
+
+    def _run(self, d, blocks, retune_at=None, retune=(3, 310_000.0)):
+        for i, blk in enumerate(blocks):
+            if retune_at is not None and i == retune_at:
+                pkt = bytearray([1])
+                st.encode_int(pkt, StatusType.OUTPUT_SSRC, retune[0] + 1)
+                st.encode_double(pkt, StatusType.RADIO_FREQUENCY, retune[1])
+                st.encode_eol(pkt)
+                d.handle_command(bytes(pkt))
+            d.process_block(blk)
+        d.flush()
+        d.raw.close()
+
+    def test_mesh_daemon_pcm_identical_with_midrun_retune(self, tmp_path):
+        """8 channels over 8 devices: PCM byte-identical to the unmeshed
+        daemon through a mid-run TLV retune (the command plane works on
+        sharded state — bank_tune re-applies shardings)."""
+        blocks = _blocks(8, 310_000.0)
+        a = _daemon(tmp_path, "mesh", mesh=8)
+        b = _daemon(tmp_path, "flat")
+        assert a.cfg.n_channels == N_CH and a.n_real == N_CH
+        self._run(a, blocks, retune_at=3)
+        self._run(b, blocks, retune_at=3)
+        pa = open(tmp_path / "mesh.pcm", "rb").read()
+        pb = open(tmp_path / "flat.pcm", "rb").read()
+        assert pa == pb and len(pa) > 0
+        # the retuned channel actually hears the off-grid signal
+        pcm = _read_pcm(tmp_path / "mesh.pcm")
+        assert np.abs(pcm[6:, 3]).max() > 100
+
+    def test_mesh_pads_channels_to_device_multiple(self, tmp_path):
+        """10 channels on 8 devices: padded to 16 internally, but the
+        daemon's wire surface (PCM rows, status, SSRC range) stays 10 and
+        the emitted PCM matches the unmeshed 10-channel daemon."""
+        freqs = _freqs(10)
+        blocks = []
+        for b in range(6):
+            t = (b * L + np.arange(L)) / SAMPRATE
+            blocks.append(_am(freqs[5], t).astype(np.complex64))
+        a = _daemon(tmp_path, "pad", mesh=8, n_ch=10)
+        b = _daemon(tmp_path, "ref10", n_ch=10)
+        assert a.cfg.n_channels == 16 and a.n_real == 10
+        assert len(a.pcm) == 10
+        self._run(a, blocks)
+        self._run(b, blocks)
+        pa = _read_pcm(tmp_path / "pad.pcm", n_ch=10)
+        pb = _read_pcm(tmp_path / "ref10.pcm", n_ch=10)
+        np.testing.assert_array_equal(pa, pb)
+        # out-of-range SSRC (a padding row) is rejected
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 11)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1.0)
+        st.encode_eol(pkt)
+        a.handle_command(bytes(pkt))
+        assert all(f != 1.0 for f in a.bank.freqs)
+
+    def test_mesh_shard_fft_daemon(self, tmp_path):
+        """--shard-fft (distributed master FFT) through the daemon path:
+        PCM within 1 LSB of the unmeshed run (the comb-gather path is
+        float-equivalent, not bit-equal)."""
+        blocks = _blocks(5, 310_000.0)
+        a = _daemon(tmp_path, "dfft", mesh=8, shard_fft=True)
+        b = _daemon(tmp_path, "flat2")
+        self._run(a, blocks)
+        self._run(b, blocks)
+        pa = _read_pcm(tmp_path / "dfft.pcm").astype(np.int32)
+        pb = _read_pcm(tmp_path / "flat2.pcm").astype(np.int32)
+        err = (pa - pb).astype(np.float64) / 32767.0
+        rms_dbfs = 10 * np.log10(np.mean(err**2) + 1e-30)
+        assert rms_dbfs < -80.0        # the BASELINE parity bar
+        assert np.abs(pa - pb).max() <= 4   # few-LSB float noise only
 
 
 class TestBankdStatusAddressing:
