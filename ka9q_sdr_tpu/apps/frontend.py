@@ -30,6 +30,7 @@ from ..models.frontend import (
     FuncubeAGC,
     HackRFAGC,
     fcd_actual_frequency,
+    hackrf_actual_frequency,
 )
 from ..net.multicast import setup_mcast
 from ..net.rtp import RTPHeader, IQ_PT
@@ -46,16 +47,23 @@ class FrontEndDaemon:
         self.args = args
         self.samprate = args.samprate
         self.requested = parse_frequency(args.frequency) if args.frequency else 146e6
-        self.actual = fcd_actual_frequency(self.requested)
-        # LO1 at which the replayed recording was captured: signals in the
-        # recording sit at fixed RF = center + IF, so a retune shifts the
-        # replayed spectrum by (center - actual)
-        self.center = self.requested
         # hackrf-style wideband path: ADC rate = samprate * 2^decimate_log2,
         # +Fs/4 shift to dodge the DC spike, then the half-band cascade
         # (hackrf.c:270-318)
         self.decim_log2 = getattr(args, "decimate_log2", 0)
         self.adc_rate = self.samprate * (1 << self.decim_log2)
+        # Synthesizer quantisation model: the MSi001 fractional-N for a
+        # funcube (funcube.c:526-584) or the RFFC5071+MAX2837 pair for a
+        # hackrf (hackrf.c:766-814,820-900).  auto follows the DSP shape.
+        tuner = getattr(args, "tuner", "auto")
+        if tuner == "auto":
+            tuner = "hackrf" if self.decim_log2 else "msi001"
+        self.tuner = tuner
+        self.actual = self._tune_hw(self.requested)
+        # LO1 at which the replayed recording was captured: signals in the
+        # recording sit at fixed RF = center + IF, so a retune shifts the
+        # replayed spectrum by (center - actual)
+        self.center = self.requested
         self.cascade = None
         self.fs4_phase = 0
         if self.decim_log2:
@@ -127,6 +135,18 @@ class FrontEndDaemon:
             iq = iq * np.float32(10.0 ** (rel_db / 20.0))
         return iq
 
+    def _tune_hw(self, f_req: float) -> float:
+        """Commanded frequency -> the quantised frequency the hardware
+        actually delivers at the stream center.  hackrf mode includes the
+        +Fs/4 offset tune (hackrf.c:601: the tuner sits Fs/4 high and the
+        fs4_shift in the DSP moves the target back to DC), so the reported
+        LO1 is the effective post-shift center."""
+        if self.tuner == "hackrf":
+            intfreq = f_req + self.adc_rate / 4 if self.decim_log2 else f_req
+            actual_hw = hackrf_actual_frequency(intfreq)
+            return actual_hw - (self.adc_rate / 4 if self.decim_log2 else 0)
+        return fcd_actual_frequency(f_req)
+
     # ---- control plane ----
 
     def handle_command(self, data: bytes) -> None:
@@ -137,7 +157,7 @@ class FrontEndDaemon:
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
                 self.requested = st.decode_double(v)
-                self.actual = fcd_actual_frequency(self.requested)
+                self.actual = self._tune_hw(self.requested)
 
     def emit_status(self) -> None:
         """10 Hz TLV status (funcube.c status thread, 836-930); also the
@@ -220,7 +240,7 @@ class FrontEndDaemon:
                 return
 
 
-def main(argv=None) -> int:
+def build_args(argv=None):
     p = argparse.ArgumentParser(prog="frontend")
     p.add_argument("-R", "--output", required=True)
     p.add_argument("-f", "--frequency", default="146m")
@@ -230,6 +250,12 @@ def main(argv=None) -> int:
                    help="hackrf-style: ADC at samprate*2^N, Fs/4 shift + "
                         "half-band cascade down to samprate")
     p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--tuner", choices=["auto", "msi001", "hackrf"],
+                   default="auto",
+                   help="synthesizer quantisation model: msi001 "
+                        "fractional-N (funcube.c:526-584) or the hackrf "
+                        "RFFC5071+MAX2837 pair (hackrf.c:766-814); auto "
+                        "picks hackrf when --decimate-log2 > 0")
     p.add_argument("--agc", choices=["auto", "funcube", "hackrf", "off"],
                    default="auto",
                    help="hardware AGC model: funcube gain stepping "
@@ -237,7 +263,11 @@ def main(argv=None) -> int:
                         "(hackrf.c:679-749), off = gains held; auto picks "
                         "hackrf when --decimate-log2 > 0")
     p.add_argument("--seconds", type=float, default=0.0)
-    args = p.parse_args(argv)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = build_args(argv)
     try:
         FrontEndDaemon(args).run(args.seconds)
     except KeyboardInterrupt:

@@ -25,6 +25,9 @@ __all__ = [
     "fs4_shift",
     "HalfBandCascade",
     "fcd_actual_frequency",
+    "rffc5071_freq",
+    "max2837_freq",
+    "hackrf_actual_frequency",
     "FuncubeAGC",
     "HackRFAGC",
 ]
@@ -306,3 +309,100 @@ def fcd_actual_frequency(f_hz: float) -> float:
         u32_int + (frac * 4096.0 + afc) / (thresh * 4096.0)
     ) - freq_off
     return f_act
+
+
+# ---- HackRF synthesizer quantisation (hackrf.c:758-814 — extracted from
+# the HackRF firmware's rffc5071.c/max2837.c; the composition below is the
+# firmware set_freq() the reference carries at hackrf.c:820-900) ----
+
+_RFFC5071_LO_MAX_MHZ = 5400.0   # hackrf.c:762
+_RFFC5071_REF_MHZ = 50.0        # hackrf.c:763
+
+
+def rffc5071_freq(lo_mhz: int) -> float:
+    """Actual RFFC5071/5072 upconverter LO for an integer-MHz request
+    (rffc5071_freq, hackrf.c:766-791): the VCO runs at lo*2^n_lo against a
+    50 MHz reference through a /2 or /4 feedback divider with a 34-bit
+    fractional-N word of which only the top bits survive (>>5 then the
+    2^24 denominator) — the request lands on a ~298 Hz grid (fbkdiv 2,
+    lodiv 2).  Returns Hz."""
+    lo_mhz = int(lo_mhz) & 0xFFFF
+    if lo_mhz == 0:
+        return 0.0
+    n_lo = 0
+    x = int(_RFFC5071_LO_MAX_MHZ / lo_mhz) & 0xFFFF   # uint16 truncation
+    while x > 1 and n_lo < 5:
+        n_lo += 1
+        x >>= 1
+    lodiv = 1 << n_lo
+    fvco = (lodiv * lo_mhz) & 0xFFFF                  # uint16
+    fbkdiv = 4 if fvco > 3200 else 2
+    # C: ((uint64)fvco << 29) / (fbkdiv * 50.0) — a DOUBLE division
+    # truncated back into uint64 (fvco<<29 < 2^53, so the double is exact)
+    tmp_n = int((fvco << 29) / (fbkdiv * _RFFC5071_REF_MHZ))
+    return (_RFFC5071_REF_MHZ * (tmp_n >> 5) * fbkdiv * 1e6) / (
+        lodiv * (1 << 24)
+    )
+
+
+def max2837_freq(freq_hz: int) -> int:
+    """MAX2837 transceiver fractional-N *residual* for a Hz request
+    (max2837_freq, hackrf.c:793-814): the synthesizer ratio is
+    freq/30 MHz with 20 fractional bits filled by truncating binary
+    search (strict >), and the function returns the leftover Hz the
+    20-bit word cannot express — i.e. actual = freq - max2837_freq(freq),
+    at most ~57 Hz low (30e6/2^19)."""
+    div_rem = int(freq_hz) % 30_000_000
+    div_cmp = 30_000_000
+    for _ in range(20):
+        div_cmp >>= 1
+        if div_rem > div_cmp:
+            div_rem -= div_cmp
+    return div_rem
+
+
+def hackrf_actual_frequency(f_hz: float) -> float:
+    """The HackRF's *actual* tuned frequency for a request, composing the
+    two synthesizer models exactly as the firmware's set_freq does
+    (hackrf.c:820-900, carried in the reference for this purpose,
+    hackrf.c:758-760 'for future use in determining exact tuning
+    frequency'):
+
+    - low path (< 2150 MHz, the SDR range): RFFC5071 upconverts to a
+      nominal 2.3-2.65 GHz IF (integer-MHz LO, quantised ~298 Hz), the
+      MAX2837 tunes to the quantised difference (truncating 20-bit
+      fractional-N, <=57 Hz low) -> actual = f + max2837 residual;
+    - bypass (2150-2750 MHz): MAX2837 direct -> actual = f - residual;
+    - high path (2750-7250 MHz): RFFC5071 above the MAX2837 IF ->
+      actual = f - residual.
+
+    The receiver's LO2 absorbs the difference exactly as for the funcube
+    (radio_status.c:311-316)."""
+    freq = int(round(f_hz))
+    if freq <= 0:
+        return float(f_hz)
+    freq_mhz = freq // 1_000_000
+    if freq_mhz < 2150:
+        # low path: IF glides 2650 -> ~2350 MHz as f rises (firmware's
+        # max2837_freq_nominal_hz = 2650 MHz - freq/7)
+        nominal_hz = 2_650_000_000 - freq // 7
+        rffc_mhz = nominal_hz // 1_000_000 + freq_mhz
+        real_rffc = rffc5071_freq(rffc_mhz)
+        # firmware holds real_RFFC5071_freq_hz in a uint64 (truncated); the
+        # analog LO keeps its fraction — received = LO1 - MAX2837_actual
+        target = int(real_rffc) - freq
+        return real_rffc - (target - max2837_freq(target))
+    if freq_mhz < 2750:
+        return float(freq - max2837_freq(freq))
+    if freq_mhz <= 7250:
+        if freq_mhz < 3600:
+            nominal_hz = 2_150_000_000 + ((freq - 2_750_000_000) * 60) // 85
+        elif freq_mhz < 5100:
+            nominal_hz = 2_350_000_000 + (freq - 3_600_000_000) // 5
+        else:
+            nominal_hz = 2_500_000_000 + (freq - 5_100_000_000) // 9
+        rffc_mhz = freq_mhz - nominal_hz // 1_000_000
+        real_rffc = rffc5071_freq(rffc_mhz)
+        target = freq - int(real_rffc)
+        return real_rffc + (target - max2837_freq(target))
+    return float(f_hz)   # out of range: firmware refuses; report request

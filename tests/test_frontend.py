@@ -149,6 +149,123 @@ class TestFracN:
         assert actuals == sorted(actuals)
 
 
+class TestHackRFSynth:
+    """HackRF synthesizer quantisation (rffc5071_freq / max2837_freq,
+    hackrf.c:766-814, composed as the firmware set_freq, hackrf.c:820-900)
+    and the LO2-absorbs-quantized-LO1 loop for the hackrf front end —
+    the twin of the funcube MSi001 coverage above."""
+
+    def test_rffc5071_integer_mhz_grid(self):
+        from ka9q_sdr_tpu.models.frontend import rffc5071_freq
+
+        # VCO grid: 50 MHz ref * fbkdiv / (lodiv * 2^24) per (tmp_n>>5)
+        # count — requests land within ~200 Hz of the integer-MHz ask
+        for mhz in (2650 + 146, 2796, 3100, 2400):
+            act = rffc5071_freq(mhz)
+            assert abs(act - mhz * 1e6) < 200.0, (mhz, act)
+        # exact when the ratio divides (5 GHz: tmp_n has no dropped bits)
+        assert rffc5071_freq(5000) == 5.0e9
+
+    def test_max2837_truncating_residual(self):
+        from ka9q_sdr_tpu.models.frontend import max2837_freq
+
+        # 30 MHz multiples synthesize exactly (ratio = F/30 MHz)
+        assert max2837_freq(2_400_000_000) == 0
+        assert max2837_freq(30_000_000) == 0
+        # residual is the sub-LSB leftover: < 30e6/2^19 + rounding slop
+        for f in (146_000_000, 146_520_001, 433_123_457, 1_299_999_999):
+            r = max2837_freq(f)
+            assert 0 <= r < 60, (f, r)
+
+    def test_actual_frequency_all_three_paths(self):
+        from ka9q_sdr_tpu.models.frontend import hackrf_actual_frequency
+
+        # low path (< 2150 MHz): actual = f + max2837 residual (high side)
+        for f in (146.52e6 + 1, 435e6 + 3, 1.2e9):
+            a = hackrf_actual_frequency(f)
+            assert 0 <= a - f < 60, (f, a)
+        # bypass (2150-2750 MHz): MAX2837 direct, low side; 30 MHz
+        # multiples exact
+        assert hackrf_actual_frequency(2.4e9) == 2.4e9
+        a = hackrf_actual_frequency(2.4e9 + 17)
+        assert -60 < a - (2.4e9 + 17) <= 0
+        # high path (2750-7250 MHz)
+        a = hackrf_actual_frequency(5.8e9)
+        assert abs(a - 5.8e9) < 300
+
+    def test_frontend_daemon_reports_quantized_lo1(self, tmp_path):
+        """hackrf-mode frontend simulator (decimate cascade + Fs/4 offset
+        tune, hackrf.c:601): a TLV retune command quantises through the
+        synthesizer pair and the status stream reports the ACTUAL LO1,
+        not the request — exactly like the funcube daemon."""
+        import argparse
+
+        from ka9q_sdr_tpu.apps.frontend import FrontEndDaemon, build_args
+        from ka9q_sdr_tpu.models.frontend import hackrf_actual_frequency
+        from ka9q_sdr_tpu.net import status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+
+        args = build_args(
+            ["-R", "239.88.9.1:5404", "-f", "146m52", "-r", "192000",
+             "--decimate-log2", "2"]
+        )
+        d = FrontEndDaemon(args)
+        assert d.tuner == "hackrf"   # auto: wideband cascade => hackrf
+
+        req = 146_520_001.0
+        pkt = bytearray([1])
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, req)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        # quantised, and exactly per the model incl. the +Fs/4 offset tune
+        adc = 192000 * 4
+        expect = hackrf_actual_frequency(req + adc / 4) - adc / 4
+        assert d.actual == expect
+        assert d.actual != req
+        assert 0 < abs(d.actual - req) < 60
+
+    def test_lo2_absorbs_hackrf_lo1_error(self):
+        """Closed loop (radio_status.c:311-316) with the hackrf model: the
+        receiver asks for an RF, the front end tunes the quantised LO1,
+        the status round trip retunes LO2 — a USB tone demodulates to
+        EXACTLY the right audio pitch (uncompensated it would sit
+        |LO1 error| Hz off)."""
+        from ka9q_sdr_tpu.models.frontend import hackrf_actual_frequency
+        from ka9q_sdr_tpu.models.receiver import (
+            Receiver, make_receiver_config,
+        )
+
+        fs = 192000
+        rf = 146_520_001.0            # station carrier (off every grid)
+        requested_lo1 = rf - 40e3     # park the station at +40 kHz IF
+        actual_lo1 = hackrf_actual_frequency(requested_lo1)
+        lo1_err = actual_lo1 - requested_lo1
+        assert abs(lo1_err) > 3.0     # the error is worth absorbing
+
+        rx = Receiver(make_receiver_config("USB", samprate=fs))
+        rx.sdr.frequency = requested_lo1
+        rx.set_freq(rf)
+        rx.update_first_lo(actual_lo1)          # the status round trip
+        assert rx.sdr.frequency == actual_lo1
+        assert rx.tune_freq == rf               # RF stayed put
+
+        # physical world: a tone 1 kHz above the station carrier reaches
+        # the A/D at (rf+1000) - ACTUAL LO1
+        tone_if = (rf + 1000.0) - actual_lo1
+        L = rx.cfg.master.L
+        audio = []
+        for b in range(40):
+            t = (b * L + np.arange(L)) / fs
+            x = 0.05 * np.exp(2j * np.pi * tone_if * t).astype(np.complex64)
+            out, _ = rx.process(x)
+            audio.append(np.asarray(out))
+        a = np.concatenate([x.ravel() for x in audio[10:]])
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        f = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+        peak = f[np.argmax(spec)]
+        assert abs(peak - 1000.0) < 2.0, (peak, lo1_err)
+
+
 class TestFuncubeAGC:
     def test_steps_up_in_reference_order(self):
         """Increase order: LNA on (24), mixer on (19), IF +10 to 20
