@@ -356,14 +356,20 @@ class BankDaemon:
 
 def run_multibank(args, groups) -> int:
     """Mixed-mode path: one shared wideband FFT, a demod group per mode
-    (models.bank.MultiBank)."""
+    (models.bank.MultiBank).  --mesh shards every group's channel axis
+    (groups padded per-group; padded rows never reach the wire)."""
     from ..models.bank import MultiBank
 
     samprate = float(args.samprate)
     decim = round(samprate / 48000)
     L = args.L or 960 * decim
     M = args.M or (2048 * decim - L + 1)
-    mb = MultiBank(groups, samprate=samprate, L=L, M=M)
+    mesh = None
+    if getattr(args, "mesh", 0):
+        from ..parallel.mesh import make_channel_mesh
+
+        mesh = make_channel_mesh(args.mesh)
+    mb = MultiBank(groups, samprate=samprate, L=L, M=M, mesh=mesh)
     out_sock = None
     if args.output:
         out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
@@ -386,7 +392,7 @@ def run_multibank(args, groups) -> int:
     for block in IQReader(args.iq_file).blocks(L):
         outs = mb.process(block)
         for (audio, diag), row in zip(outs, pcms):
-            a = np.asarray(audio)
+            a = np.asarray(audio)[: len(row)]   # drop mesh-padding rows
             for ch, out in enumerate(row):
                 if a.ndim == 3:
                     out.send_stereo(a[ch])

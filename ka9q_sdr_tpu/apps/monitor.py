@@ -77,26 +77,64 @@ def run_mixer_ui(stdscr, mixer, stop):
             sess.muted = not sess.muted
 
 
+def _attach_tui(mixer, stop, tty_path="/dev/tty"):
+    """Start the mixer UI on the CONTROLLING TERMINAL, not on stdout.
+
+    The documented usage pipes stdout to a file/player, and ncurses writes
+    its escape sequences to fd 1 — naively starting curses would interleave
+    terminal control codes into the s16 stream (the reference never has
+    this problem: its audio goes to portaudio, monitor.c:360-386, and only
+    the UI owns the screen, monitor.c:530-733).  So: keep the pipe on a
+    duplicated fd for the PCM writer and re-point fd 1 (and a non-tty
+    fd 0) at the terminal for curses.
+
+    Returns the binary PCM stream to write to, or None if there is no
+    terminal (UI skipped, PCM untouched)."""
+    import curses
+    import os
+    import threading
+
+    try:
+        tty = os.open(tty_path, os.O_RDWR)
+    except OSError as e:
+        print(f"monitor: --tui needs a terminal ({e}); running without UI",
+              file=sys.stderr)
+        return None
+    pcm_fd = os.dup(1)                  # the pipe/file the user redirected
+    os.dup2(tty, 1)                     # curses owns fd 1 = the terminal
+    if not os.isatty(0):
+        os.dup2(tty, 0)                 # keys come from the terminal too
+    os.close(tty)
+    pcm_out = os.fdopen(pcm_fd, "wb")
+
+    def run():
+        try:
+            curses.wrapper(run_mixer_ui, mixer, stop)
+        except curses.error as e:
+            print(f"monitor: TUI unavailable ({e})", file=sys.stderr)
+
+    threading.Thread(target=run, daemon=True).start()
+    return pcm_out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="monitor")
     p.add_argument("groups", nargs="+", help="PCM/Opus multicast name:port")
     p.add_argument("--seconds", type=float, default=0.0, help="stop after N s")
     p.add_argument("--chunk-ms", type=float, default=20.0)
     p.add_argument("--tui", action="store_true",
-                   help="interactive session mixer (gain/pan/mute)")
+                   help="interactive session mixer (gain/pan/mute) on "
+                        "/dev/tty; the PCM stream keeps stdout")
     args = p.parse_args(argv)
 
     socks = [setup_mcast(g, output=False) for g in args.groups]
     mixer = Mixer()
     stop = {"quit": False}
+    out = None
     if args.tui:
-        import threading, curses
-
-        threading.Thread(
-            target=lambda: curses.wrapper(run_mixer_ui, mixer, stop),
-            daemon=True,
-        ).start()
-    out = sys.stdout.buffer
+        out = _attach_tui(mixer, stop)
+    if out is None:
+        out = sys.stdout.buffer
     chunk = int(SAMPRATE * args.chunk_ms / 1000)
     t0 = time.monotonic()
     next_due = t0

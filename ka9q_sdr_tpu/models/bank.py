@@ -187,6 +187,32 @@ def make_bank_config(
     )
 
 
+def _residual_phase_cycles(cfg: BankConfig, delta: float) -> float:
+    """Group-delay phase correction for off-bin tuning, in cycles.
+
+    The bank applies the SHARED channel response to the pre-residual-mix
+    spectrum, i.e. the response is sampled delta off from where the
+    reference (mix-then-filter, radio.c:131-136 -> filter.c) samples it.
+    The designed response is exactly linear-phase with delay
+    D = (M_dec-1)/2 output samples (window design, filter.c:365-469), so
+    the offset costs a CONSTANT per-channel phase 2*pi*delta*(M-1)/2 —
+    up to ~48 deg at half-bin offsets — which this folds into the
+    residual NCO's phase so off-bin channels match the reference's phase
+    exactly in the flat passband (the residual |response| interpolation
+    error at the edges remains, see module docstring)."""
+    return delta * (cfg.master.M - 1) / 2.0
+
+
+def _osc_with_phase(osc: OscState, cycles: float) -> OscState:
+    """Return osc with `cycles` added to its phase accumulator (split into
+    the uint32 word + f32 residual exactly like frequencies)."""
+    hi, resid = split_double(cycles)
+    return osc._replace(
+        phase=osc.phase + jnp.uint32(hi),       # uint32 add wraps mod 1 cycle
+        phase_resid=osc.phase_resid + jnp.float32(resid),
+    )
+
+
 def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
     """Initial state with every channel tuned (host-side design time)."""
     B = cfg.n_channels
@@ -199,8 +225,12 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
         k = int(np.round(nu * N))
         delta = nu - k / N
         ks.append(k % N)
-        # residual LO at the decimated rate; negative = downconvert
-        ncos.append(set_osc(osc_init(), -delta * cfg.decimate))
+        # residual LO at the decimated rate; negative = downconvert.
+        # Initial phase = the off-bin group-delay correction.
+        osc = set_osc(osc_init(), -delta * cfg.decimate)
+        ncos.append(
+            _osc_with_phase(osc, _residual_phase_cycles(cfg, delta))
+        )
     nco = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ncos)
     ks64 = np.asarray(ks, np.int64)
     k_arr = jnp.asarray(ks64.astype(np.int32))
@@ -481,9 +511,29 @@ def bank_tune(
     k = int(np.round(nu * cfg.N))
     delta = nu - k / cfg.N
     hi, resid = split_double(-delta * cfg.decimate)
+    # group-delay phase correction moves with delta (see
+    # _residual_phase_cycles): apply the DIFFERENCE so the LO phase stays
+    # continuous apart from the response-sampling shift the reference's
+    # own output exhibits.  Old delta is reconstructed from the stored
+    # fixed-point frequency (tiny host fetch; retunes are control-plane).
+    w = int(np.asarray(state.nco.freq)[channel])
+    if w >= 1 << 31:
+        w -= 1 << 32
+    old_delta = -(w / 2.0**32 +
+                  float(np.asarray(state.nco.freq_resid)[channel])) \
+        / cfg.decimate
+    dcorr = (_residual_phase_cycles(cfg, delta)
+             - _residual_phase_cycles(cfg, old_delta))
+    phi_hi, phi_resid = split_double(dcorr)
+    old_phase = int(np.asarray(state.nco.phase)[channel])
+    old_presid = float(np.asarray(state.nco.phase_resid)[channel])
     new_nco = state.nco._replace(
         freq=_set(state.nco.freq, np.uint32(hi)),
         freq_resid=_set(state.nco.freq_resid, np.float32(resid)),
+        phase=_set(state.nco.phase,
+                   np.uint32((old_phase + phi_hi) & 0xFFFFFFFF)),
+        phase_resid=_set(state.nco.phase_resid,
+                         np.float32(old_presid + phi_resid)),
     )
     km = k % cfg.N
     return state._replace(
@@ -698,6 +748,10 @@ class MultiBank:
     input FFT happens once per block for everyone.
 
     groups: list of (mode_name, [freq_hz, ...]).
+    mesh: shard every group's channel axis over the mesh (each group is
+    padded to a device multiple; `group_real[g]` rows of group g's audio
+    are real, the rest are padding and should be ignored).  The wideband
+    block and master FFT stay replicated exactly as for ChannelBank.
     """
 
     def __init__(
@@ -706,10 +760,20 @@ class MultiBank:
         samprate: float = 24.576e6,
         L: int = 491520,
         M: int = 557057,
+        mesh=None,
         **kw,
     ):
         from ..ops.packing import tree_c2r_np, tree_c2r, tree_r2c, r2c
 
+        self.mesh = mesh
+        self.group_real = [len(freqs) for _, freqs in groups]
+        if mesh is not None:
+            from ..parallel.mesh import pad_channels
+
+            groups = [
+                (mode, pad_channels(freqs, mesh.devices.size))
+                for mode, freqs in groups
+            ]
         self.cfgs = []
         templates = []
         for mode, freqs in groups:
@@ -751,7 +815,24 @@ class MultiBank:
                 outs.append((audio, diag))
             return new_states, outs
 
-        self._step = jax.jit(step)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import CHANNEL_AXIS, bank_state_shardings
+
+            shs = [bank_state_shardings(mesh, s) for s in self.states]
+            rep = NamedSharding(mesh, PartitionSpec())
+            aud = NamedSharding(mesh, PartitionSpec(CHANNEL_AXIS))
+            self._step = jax.jit(
+                step,
+                in_shardings=(shs, rep),
+                out_shardings=(shs, [(aud, None) for _ in shs]),
+            )
+            self.states = [
+                jax.tree_util.tree_map(jax.device_put, s, sh)
+                for s, sh in zip(self.states, shs)
+            ]
+        else:
+            self._step = jax.jit(step)
 
     def process(self, iq_block) -> list:
         """Returns [(audio, diag), ...] per group."""

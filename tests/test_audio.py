@@ -109,3 +109,58 @@ class TestMixer:
         # second packet (full left pan): right channel ~0
         assert np.max(np.abs(a[500:900, 0])) > 0.3
         assert np.max(np.abs(a[520:900, 1])) < 0.01
+
+
+class TestMonitorTUI:
+    def test_tui_keeps_pcm_stream_clean(self, tmp_path):
+        """monitor --tui attaches curses to the TERMINAL, not stdout: with
+        stdout redirected (the documented usage, `--tui > mix.s16`) the
+        s16 stream stays byte-clean and the UI's escape sequences land on
+        the tty — the reference's portaudio-vs-screen separation
+        (monitor.c:360-386 vs 530-733)."""
+        import os
+        import pty
+        import select as sel
+        import time
+
+        from ka9q_sdr_tpu.apps import monitor
+        from ka9q_sdr_tpu.audio.playout import Mixer
+
+        os.environ.setdefault("TERM", "xterm")
+        master, slave = pty.openpty()
+        pcm_path = tmp_path / "mix.s16"
+        saved = os.dup(1)
+        fh = open(pcm_path, "wb")
+        os.dup2(fh.fileno(), 1)
+        stop = {"quit": False}
+        payload = bytes(range(256)) * 8   # arbitrary s16 bytes incl. 0x1b
+        try:
+            out = monitor._attach_tui(Mixer(), stop,
+                                      tty_path=os.ttyname(slave))
+            assert out is not None
+            time.sleep(0.5)               # let the UI draw frames
+            out.write(payload)
+            out.flush()
+            time.sleep(0.3)
+        finally:
+            stop["quit"] = True
+            time.sleep(0.3)               # UI thread exits + endwin
+            os.dup2(saved, 1)
+            os.close(saved)
+            fh.close()
+        assert open(pcm_path, "rb").read() == payload   # PCM byte-clean
+        r, _, _ = sel.select([master], [], [], 2.0)
+        ui = os.read(master, 65536) if r else b""
+        os.close(master)
+        os.close(slave)
+        assert b"\x1b" in ui              # the UI really drew on the tty
+
+    def test_tui_without_terminal_degrades_gracefully(self, tmp_path):
+        """No controlling terminal: --tui is skipped with a note, PCM
+        stream untouched (returns None so main uses stdout)."""
+        from ka9q_sdr_tpu.apps import monitor
+        from ka9q_sdr_tpu.audio.playout import Mixer
+
+        out = monitor._attach_tui(Mixer(), {"quit": False},
+                                  tty_path=str(tmp_path / "no-such-tty"))
+        assert out is None

@@ -526,6 +526,57 @@ class TestBankISB:
         sig = np.sqrt(np.mean(r_ ** 2))
         assert err < 1e-4 * max(sig, 1e-9) + 1e-6, (err, sig)
 
+    def test_bank_isb_off_bin_channel(self):
+        """ISB with a NONZERO residual NCO (channel tuned off the master
+        bin grid): the bank splits sidebands at the pre-residual bin
+        boundary while the reference splits after the full LO mix, so
+        content within the sub-bin residual (< fs/2N ~ 12 Hz here) of
+        channel center can classify into the opposite sideband — a
+        documented divergence (PARITY.md).  For real passband content
+        (tones ≥ 1 kHz out) the two must still agree closely: the
+        group-delay phase of the delta-shifted response sampling is
+        corrected exactly (_residual_phase_cycles — without it this
+        test fails at ~full signal level).  Plain ISB, no PLL (the CISB
+        PLL's settling would add its own variance)."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+        from ka9q_sdr_tpu.models.receiver import (
+            Receiver, make_receiver_config,
+        )
+
+        fs, Lw, Mw = 1.536e6, 30720, 34817
+        N = Lw + Mw - 1
+        cfg = make_bank_config(2, "ISB", samprate=fs, L=Lw, M=Mw)
+        # half a master bin off the grid: the residual NCO runs at its
+        # maximum |delta| = fs/2N ~ 11.7 Hz
+        f0 = (8533 + 0.5) * fs / N
+        bank = ChannelBank(cfg, [f0, -150e3])
+        assert float(np.asarray(bank._template.nco.freq)[0]) != 0.0
+        rx = Receiver(make_receiver_config("ISB", samprate=int(fs),
+                                           L=Lw, M=Mw))
+        rx.set_freq(f0)
+
+        rng = np.random.default_rng(9)
+        outs_b, outs_r = [], []
+        for b in range(4):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            iq = (0.2 * np.exp(2j * np.pi * (f0 - 1000) * tt)
+                  + 0.1 * np.exp(2j * np.pi * (f0 + 2000) * tt)
+                  + 0.001 * (rng.standard_normal(Lw)
+                             + 1j * rng.standard_normal(Lw))
+                  ).astype(np.complex64)
+            ab, _ = bank.process(iq)
+            ar, _ = rx.process(iq)
+            outs_b.append(np.asarray(ab)[0])
+            outs_r.append(np.asarray(ar))
+        b_ = np.concatenate(outs_b)[960:]
+        r_ = np.concatenate(outs_r)[960:]
+        err = np.sqrt(np.mean((b_ - r_) ** 2))
+        sig = np.sqrt(np.mean(r_ ** 2))
+        # what remains off-bin is the shared response's |R| sampled
+        # delta off (amplitude interpolation, ~-50 dB here); the phase
+        # term is corrected exactly
+        assert err < 5e-3 * max(sig, 1e-9) + 1e-6, (err, sig)
+
 
 class TestLongBlockCadence:
     def test_block_length_does_not_change_audio_content(self):

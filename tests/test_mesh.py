@@ -128,3 +128,44 @@ def test_non_divisible_channel_count_is_an_explicit_error():
     mesh = make_channel_mesh(8)
     with pytest.raises(ValueError, match="not divisible"):
         make_sharded_bank_step(cfg, mesh, template, packed)
+
+
+def test_multibank_shards_each_group():
+    """Mixed-mode flagship on a mesh (the realistic deployment: FM + CAM
+    sharing ONE wideband FFT): every group's channel axis shards, groups
+    pad independently (5 and 3 channels -> 8 each on 8 devices), and the
+    real channels' audio is identical to the unmeshed MultiBank."""
+    from ka9q_sdr_tpu.models.bank import MultiBank
+
+    usable = 0.9 * SAMPRATE
+    fm_freqs = list(np.linspace(-usable / 2, 0, 5, endpoint=False))
+    cam_freqs = list(np.linspace(1e4, usable / 2, 3, endpoint=False))
+    groups = [("FM", fm_freqs), ("CAM", cam_freqs)]
+
+    mesh = make_channel_mesh(8)
+    a = MultiBank(groups, samprate=SAMPRATE, L=L, M=M, mesh=mesh)
+    b = MultiBank(groups, samprate=SAMPRATE, L=L, M=M)
+    assert a.cfgs[0].n_channels == 8 and a.cfgs[1].n_channels == 8
+    assert a.group_real == [5, 3]
+
+    rng = np.random.default_rng(3)
+    tt = np.arange(4 * L) / SAMPRATE
+    x = 0.01 * (rng.standard_normal(len(tt))
+                + 1j * rng.standard_normal(len(tt)))
+    x += 0.3 * np.exp(2j * np.pi * fm_freqs[2] * tt)
+    x += 0.3 * np.exp(2j * np.pi * cam_freqs[1] * tt)
+    x = x.astype(np.complex64)
+    for blk in range(4):
+        s = x[blk * L:(blk + 1) * L]
+        outs_a = a.process(s)
+        outs_b = b.process(s)
+        for g, ((aud_a, _), (aud_b, _)) in enumerate(zip(outs_a, outs_b)):
+            n = a.group_real[g]
+            np.testing.assert_allclose(
+                np.asarray(aud_a)[:n], np.asarray(aud_b)[:n],
+                atol=2e-5, rtol=1e-5,
+                err_msg=f"group {g} diverged at block {blk}",
+            )
+    # the sharded audio really is distributed over the mesh
+    aud = a.process(x[:L])[0][0]
+    assert len({s.device for s in aud.addressable_shards}) == 8
