@@ -24,7 +24,7 @@ import numpy as np
 
 
 def _measure(mode, n_channels, samprate, L, M, warmup, iters,
-             use_scan=True, **cfg_kw):
+             use_scan=True, measure_latency=True, **cfg_kw):
     import jax
     from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
     from ka9q_sdr_tpu.utils.runtime import configure_jax
@@ -105,6 +105,8 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters,
 
     # Block round trip: one per-block program + tiny fetch, per call
     # (what a live consumer pays end to end over the tunnel)
+    if not measure_latency:
+        return sps, float("nan"), float("nan")
     lat = []
     for _ in range(max(10, iters)):
         t1 = time.perf_counter()
@@ -132,7 +134,8 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     ref_L = int(os.environ.get("BENCH_REF_L", str(7864320)))   # 20 ms
-    pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "256"))
+    frontier = os.environ.get("BENCH_FRONTIER", "1") != "0"
+    pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "2048"))
     pll_samprate = float(os.environ.get("BENCH_PLL_SAMPRATE", str(24.576e6)))
     pll_L = int(os.environ.get("BENCH_PLL_L", str(491520)))
     pll_M = int(os.environ.get("BENCH_PLL_M", str(557057)))
@@ -179,8 +182,42 @@ def main():
             file=sys.stderr,
         )
 
+    # Cadence/throughput/latency FRONTIER (the latency knob of
+    # derive_geometry): with the 1089-tap channel impulse and
+    # power-of-two N, the achievable cadences between the reference's
+    # 20 ms and the long-block 148 ms are L_dec in {960, 3008, 7104}
+    # (overlap-save redundancy N/L = 2.13 / 1.36 / 1.15 FFT points per
+    # input sample).  The 20 ms row above amortises dispatch over
+    # 8-block scan chunks; the k=1 row here isolates the per-dispatch
+    # cost at the same geometry.
+    if frontier:
+        sps_k1, _, _ = _measure(
+            "FM", n_channels, samprate, ref_L, M, warmup, iters,
+            enable_pl=True, use_scan=False, measure_latency=False,
+        )
+        print(
+            f"# frontier 20 ms k=1 (no scan chunking): "
+            f"{sps_k1/1e6:.2f} Msps ({sps_k1/samprate:.2f}x realtime), "
+            f"{n_channels*sps_k1/1e6:.0f} ch*Msps  [N/L=2.13]",
+            file=sys.stderr,
+        )
+        L_mid = 3008 * round(samprate / 48000)          # 62.7 ms, N=2^25
+        sps_m, _, _ = _measure(
+            "FM", n_channels, samprate, L_mid, M, warmup,
+            max(6, iters // 2), enable_pl=True, use_scan=False,
+            measure_latency=False,
+        )
+        print(
+            f"# frontier 62.7 ms (L_dec=3008): "
+            f"{sps_m/1e6:.2f} Msps ({sps_m/samprate:.2f}x realtime), "
+            f"{n_channels*sps_m/1e6:.0f} ch*Msps  [N/L=1.36]",
+            file=sys.stderr,
+        )
+
     # Secondary row: the heaviest mode — a PLL (CAM) bank with the
-    # decimated acquisition ring (demod_linear.py)
+    # decimated acquisition ring (demod_linear.py).  Default 2048
+    # channels: the measured PLL-bank scaling claim (CLAUDE.md) ships in
+    # the artifact.
     if pll_channels > 0:
         sps2, p50b, p99b = _measure(
             "CAM", pll_channels, pll_samprate, pll_L, pll_M, warmup, iters

@@ -13,5 +13,6 @@ from .mesh import (
     bank_state_shardings,
     shard_bank_state,
     make_sharded_bank_step,
+    pad_channels,
 )
 from .dfft import make_dfft, dfft, undo_comb
