@@ -274,14 +274,26 @@ def bank_channelize(
     fdomain[bin_perm[b]].
 
     Gather strategy: each channel's bins {k..k+h} ∪ {k-h+1..k-1} (mod N)
-    form ONE contiguous circular window of N_dec bins, so the natural-
-    order path slices it from a circularly extended spectrum (B batched
-    dynamic_slices — row copies) instead of a per-element gather, which
-    is ~20x slower on TPU (measured 62 ms -> 2.7 ms at 1024x2048 from
-    2^20 bins).  The slice order is the needed FFT order rotated by h-1;
-    the response is pre-rolled to match and the rotation becomes a
-    constant per-sample phase on the IFFT output (frequency-shift
-    theorem), folded into one (L_dec,) vector."""
+    form ONE contiguous circular window of N_dec bins.  The natural-order
+    path gathers it in ALIGNED 128-bin chunks — XLA's whole-row gather is
+    the only fast dynamic-indexing path on TPU (measured, 2048ch x 2048
+    from 2^24: per-element take 43 ms, per-channel dynamic_slice 6.8 ms,
+    chunk-row gather 1.4 ms for the full channelize) — and removes the
+    sub-chunk misalignment m = start mod 128 EXACTLY:
+
+    - multiply the (N_dec+128)-bin aligned window by the response
+      zero-padded and shifted by m (a 128-row table built from static
+      slices, row-gathered per channel);
+    - fold the product back mod N_dec (the circular property of the
+      slave frame; the overlap terms are zero where the shifted response
+      is zero, so placement is exact);
+    - the resulting spectrum is the true slave spectrum rolled by +m,
+      i.e. the IFFT output times exp(-2*pi*i*m*n/N_dec) — a per-channel
+      output phase ramp folded into the (h-1)-rotation ramp below.
+
+    The slice order is the needed FFT order rotated by h-1; the response
+    is pre-rolled to match and the rotation becomes a constant per-sample
+    phase on the IFFT output (frequency-shift theorem)."""
     N, N_dec, L_dec = cfg.N, cfg.N_dec, cfg.L_dec
     isb = cfg.mode.demod == "LINEAR" and cfg.mode.isb
     phi = jnp.exp(
@@ -329,19 +341,48 @@ def bank_channelize(
         y = y[..., N_dec - L_dec:]
     else:
         h = N_dec // 2
+        CH = min(128, N_dec)               # gather chunk granularity
+        NCH = N_dec // CH + 1
         fdbl = jnp.concatenate([fdomain, fdomain[..., :N_dec]], axis=-1)
+        F2 = fdbl.reshape(-1, CH)
         starts = (state.k - jnp.int32(h - 1)) % jnp.int32(N)
-        S = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(fdbl, (s,), (N_dec,))
-        )(starts)
+        c = starts // CH
+        m = starts % CH
+        idx = c[:, None] + jnp.arange(NCH, dtype=jnp.int32)[None, :]
+        W = jnp.take(F2, idx, axis=0).reshape(-1, NCH * CH)
+        # 128-row shifted-response table from static slices of one padded
+        # vector: Rt[m] = [zeros(m), resp_rolled, zeros(CH - m)]
         resp_rolled = jnp.roll(state.resp, h - 1)
-        f_fd = S * resp_rolled[None, :] * phi[:, None]
+        P = jnp.concatenate([
+            jnp.zeros((CH,), resp_rolled.dtype),
+            resp_rolled,
+            jnp.zeros((CH,), resp_rolled.dtype),
+        ])
+        Rt = jnp.stack([
+            jax.lax.slice(P, (CH - mm,), (CH - mm + N_dec + CH,))
+            for mm in range(CH)
+        ])
+        S = W * jnp.take(Rt, m, axis=0)
+        # fold mod N_dec: overlap terms are exact zeros where the shifted
+        # response is zero, so this places the wrap bins, it never mixes
+        f_fd = S[:, :N_dec].at[:, :CH].add(S[:, N_dec:])
+        f_fd = f_fd * phi[:, None]
         y = jnp.fft.ifft(f_fd, axis=-1) * N_dec
         n_out = np.arange(N_dec - L_dec, N_dec)
         out_fix = np.exp(-2j * np.pi * (h - 1) * n_out / N_dec).astype(
             np.complex64
         )
-        y = y[..., N_dec - L_dec:] * jnp.asarray(out_fix)[None, :]
+        # undo the roll-by-m (shift theorem) + the h-1 rotation in one
+        # per-channel output ramp.  Phase reduced with an exact integer
+        # mod BEFORE the float multiply (a raw f32 m*n/N_dec reaches
+        # hundreds of radians and costs ~5e-5 of phase; reduced, it is
+        # exact to f32 rounding — same rule as fft_fourstep's twiddles).
+        nn_i = jnp.asarray(n_out.astype(np.int32))
+        mn = (m[:, None] * nn_i[None, :]) % jnp.int32(N_dec)
+        frac = mn.astype(jnp.float32) * jnp.float32(1.0 / N_dec)
+        ang = (-2.0 * np.pi) * frac
+        ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        y = y[..., N_dec - L_dec:] * (ramp * jnp.asarray(out_fix)[None, :])
 
     return new_r, new_nco, y * lo
 

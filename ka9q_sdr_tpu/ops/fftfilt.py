@@ -109,9 +109,16 @@ def master_init(spec: MasterSpec, dtype=jnp.float32) -> jax.Array:
 
 
 #: Use the four-step decomposition for 1D complex FFTs at or above this
-#: size: XLA's monolithic large-1D FFT is ~6x slower on TPU than P x Q
-#: batched FFTs + twiddle (measured 7.3 ms -> 1.1 ms at N = 2^20).
-FOURSTEP_MIN = 1 << 16
+#: size.  Re-measured (r3, slope method, best-of-2): XLA's monolithic FFT
+#: now matches or beats the decomposition up to N = 2^24 (5.47 vs
+#: 6.24 ms) — the runtime improved since the round-1 measurement — but
+#: loses 1.7x at 2^25 (25.0 vs 14.5 ms) and 1.3x at 2^26 (37.4 vs
+#: 28.9 ms).  P = 2^(log2 N / 2) (i.e. Q ~ 8192) measured optimal at
+#: both sizes.  The output transpose costs ~11% of the decomposition;
+#: skipping it (comb layout) is NOT a win end-to-end because the
+#: channelizer's per-channel windows then become strided column reads
+#: that move the same HBM bytes the transpose does.
+FOURSTEP_MIN = 1 << 25
 
 
 def fft_fourstep(z: jax.Array) -> jax.Array:
