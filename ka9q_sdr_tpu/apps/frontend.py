@@ -59,6 +59,23 @@ class FrontEndDaemon:
         if tuner == "auto":
             tuner = "hackrf" if self.decim_log2 else "msi001"
         self.tuner = tuner
+        # TCXO calibration (funcube.c:51,131: ppm -> fraction; the
+        # commanded RF is divided by (1+cal) before the synthesizer and
+        # the quantised result multiplied back, funcube.c:751,799-808).
+        self.calibration = getattr(args, "calibration", 0.0) * 1e-6
+        self.cal_file = getattr(args, "cal_file", None)
+        if self.cal_file:
+            # funcube.c:238-252: load when no calibration given, else save
+            import os
+
+            if self.calibration == 0.0 and os.path.exists(self.cal_file):
+                with open(self.cal_file) as f:
+                    self.calibration = float(f.read().strip() or 0.0)
+            elif self.calibration != 0.0:
+                os.makedirs(os.path.dirname(self.cal_file) or ".",
+                            exist_ok=True)
+                with open(self.cal_file, "w") as f:
+                    f.write(f"{self.calibration:.6g}\n")
         self.actual = self._tune_hw(self.requested)
         # LO1 at which the replayed recording was captured: signals in the
         # recording sit at fixed RF = center + IF, so a retune shifts the
@@ -137,15 +154,20 @@ class FrontEndDaemon:
 
     def _tune_hw(self, f_req: float) -> float:
         """Commanded frequency -> the quantised frequency the hardware
-        actually delivers at the stream center.  hackrf mode includes the
-        +Fs/4 offset tune (hackrf.c:601: the tuner sits Fs/4 high and the
-        fs4_shift in the DSP moves the target back to DC), so the reported
-        LO1 is the effective post-shift center."""
+        actually delivers at the stream center.  The TCXO calibration
+        divides the request before the synthesizer and scales the
+        quantised result back (funcube.c:751,799-808; hackrf.c:605).
+        hackrf mode includes the +Fs/4 offset tune (hackrf.c:601: the
+        tuner sits Fs/4 high and the fs4_shift in the DSP moves the
+        target back to DC), so the reported LO1 is the effective
+        post-shift center."""
+        intfreq = round(f_req / (1.0 + self.calibration))
         if self.tuner == "hackrf":
-            intfreq = f_req + self.adc_rate / 4 if self.decim_log2 else f_req
-            actual_hw = hackrf_actual_frequency(intfreq)
-            return actual_hw - (self.adc_rate / 4 if self.decim_log2 else 0)
-        return fcd_actual_frequency(f_req)
+            off = self.adc_rate / 4 if self.decim_log2 else 0.0
+            actual_hw = hackrf_actual_frequency(intfreq + off) - off
+        else:
+            actual_hw = fcd_actual_frequency(intfreq)
+        return actual_hw * (1.0 + self.calibration)
 
     # ---- control plane ----
 
@@ -158,6 +180,11 @@ class FrontEndDaemon:
             if t == StatusType.RADIO_FREQUENCY:
                 self.requested = st.decode_double(v)
                 self.actual = self._tune_hw(self.requested)
+            elif t == StatusType.CALIBRATE:
+                # funcube.c:795-799: new TCXO estimate; retune keeps the
+                # commanded RF and re-quantises through the synthesizer
+                self.calibration = st.decode_double(v)
+                self.actual = self._tune_hw(self.requested)
 
     def emit_status(self) -> None:
         """10 Hz TLV status (funcube.c status thread, 836-930); also the
@@ -169,6 +196,7 @@ class FrontEndDaemon:
         st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
         st.encode_int(pkt, StatusType.COMMANDS, self.commands)
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY, self.actual)
+        st.encode_double(pkt, StatusType.CALIBRATE, self.calibration)
         st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(self.samprate))
         st.encode_int(pkt, StatusType.OUTPUT_SSRC, self.ssrc)
         st.encode_float(pkt, StatusType.IF_POWER, self.corrector.in_power)
@@ -250,6 +278,14 @@ def build_args(argv=None):
                    help="hackrf-style: ADC at samprate*2^N, Fs/4 shift + "
                         "half-band cascade down to samprate")
     p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("--calibration", type=float, default=0.0,
+                   help="TCXO offset in ppm (funcube.c:131); commanded "
+                        "frequencies divide by (1+cal) before the "
+                        "synthesizer, reported LO1 scales back")
+    p.add_argument("--cal-file",
+                   help="calibration persistence file (funcube.c:238-252: "
+                        "loaded when --calibration is 0, saved otherwise); "
+                        "reference path /var/local/lib/radiostate/cal-*")
     p.add_argument("--tuner", choices=["auto", "msi001", "hackrf"],
                    default="auto",
                    help="synthesizer quantisation model: msi001 "

@@ -466,3 +466,63 @@ class TestFrontEndDaemonAGC:
         assert gains_seen[-1][StatusType.MIXER_GAIN] == 19
         totals = [sum(g.values()) for g in gains_seen]
         assert len(set(totals)) >= 3, totals   # moving gains on the wire
+
+
+class TestTCXOCalibration:
+    """TCXO calibration model (funcube.c:51,131,238-252,751,795-808):
+    ppm offset divides the commanded RF before the synthesizer and scales
+    the quantised result back; settable over TLV CALIBRATE; persisted to
+    a calibration file."""
+
+    def _daemon(self, extra):
+        from ka9q_sdr_tpu.apps.frontend import FrontEndDaemon, build_args
+
+        args = build_args(
+            ["-R", "239.88.9.2:5504", "-f", "146m52", "-r", "192000"]
+            + extra)
+        return FrontEndDaemon(args)
+
+    def test_calibration_scales_actual(self):
+        from ka9q_sdr_tpu.models.frontend import fcd_actual_frequency
+
+        d = self._daemon(["--calibration", "10.0"])     # +10 ppm
+        cal = 10.0 * 1e-6
+        assert d.calibration == cal
+        req = 146.52e6
+        expect = fcd_actual_frequency(round(req / (1 + cal))) * (1 + cal)
+        assert d.actual == expect
+        # calibration COMPENSATES: the synthesizer register moves ~10 ppm
+        # (funcube.c:799) so the true RF stays at the request
+        assert abs(d.actual - req) < 2.0
+        assert abs(round(req / (1 + cal)) - req) > 1000.0
+
+    def test_calibrate_command_requantizes(self):
+        from ka9q_sdr_tpu.net import status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+
+        d = self._daemon([])
+        a0 = d.actual
+        pkt = bytearray([1])
+        st.encode_double(pkt, StatusType.CALIBRATE, -5e-6)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.calibration == -5e-6
+        # requantised for the new TCXO estimate: the true RF stays pinned
+        # to the commanded value (the register absorbs the 5 ppm)
+        assert d.actual != a0
+        assert abs(d.actual - d.requested) < 2.0
+        # status stream reports the calibration (funcube.c:899)
+        sent = []
+        d.status_sock = type("S", (), {"send": lambda s, b: sent.append(b)})()
+        d.emit_status()
+        items = dict(st.decode_packet(sent[0][1:]))
+        assert st.decode_double(items[StatusType.CALIBRATE]) == -5e-6
+
+    def test_cal_file_save_and_load(self, tmp_path):
+        cal = str(tmp_path / "cal-funcube-0")
+        d1 = self._daemon(["--calibration", "7.5", "--cal-file", cal])
+        assert open(cal).read().strip() == "7.5e-06"
+        # a later start with no --calibration loads the saved estimate
+        d2 = self._daemon(["--cal-file", cal])
+        assert d2.calibration == 7.5e-6
+        assert d2.actual == d1.actual
