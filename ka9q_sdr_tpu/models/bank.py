@@ -302,57 +302,57 @@ def bank_channelize(
     new_r = (state.r + state.dr) % jnp.int32(N)
     new_nco, lo = jax.vmap(lambda s: osc_block(s, L_dec))(state.nco)
 
-    if bin_perm is not None or isb:
-        # permuted layouts (distributed-FFT comb) and the CROSS_CONJ ISB
-        # combine (filter.c:239-249) need bins in slave order
+    if bin_perm is not None:
+        # permuted layouts (distributed-FFT comb): the comb scatters
+        # consecutive bins across devices, so this stays a per-element
+        # gather (the cross-device layout has no aligned rows to exploit)
         idx = (jnp.asarray(cfg.base_idx)[None, :] + state.k[:, None]) % N
-        if bin_perm is not None:
-            idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
+        idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
         gathered = jnp.take(fdomain, idx, axis=0)      # (B, N_dec)
         f_fd = gathered * state.resp[None, :] * phi[:, None]
         if isb:
-            # The reference mixes the full LO before the FFT, so its
-            # CROSS_CONJ combine sees the residual-shifted sidebands;
-            # conj does NOT commute with the shift, so combining first
-            # and mixing after would put an opposite-sign frequency
-            # error on one sideband.  Equivalent time-domain combine
-            # (IFFT linearity on filter.c:239-249, whose loop pairs
-            # p=1..h-1 with N_dec-p and leaves bins 0 and h unpaired):
-            # out = base + 2j*Im(USB') + 2*Re(LSB'), base = the unpaired
-            # DC/Nyquist bins, all applied AFTER per-sideband mixing.
-            h = N_dec // 2
-            f_pos = f_fd.at[..., h + 1 :].set(0)
-            f_neg = f_fd.at[..., : h + 1].set(0)
-            u = jnp.fft.ifft(f_pos, axis=-1)[..., N_dec - L_dec:] * N_dec
-            l_ = jnp.fft.ifft(f_neg, axis=-1)[..., N_dec - L_dec:] * N_dec
-            n_out = np.arange(N_dec - L_dec, N_dec)
-            sign = jnp.asarray(((-1.0) ** n_out).astype(np.float32))
-            base = (
-                f_fd[..., 0:1] + f_fd[..., h : h + 1] * sign[None, :]
+            return new_r, new_nco, _isb_combine(
+                f_fd, lo, N_dec, L_dec
             )
-            u = (u - base) * lo
-            l_ = l_ * lo
-            base = base * lo
-            y = base + jax.lax.complex(
-                2.0 * jnp.real(l_), 2.0 * jnp.imag(u)
-            )
-            return new_r, new_nco, y
         y = jnp.fft.ifft(f_fd, axis=-1) * N_dec
         y = y[..., N_dec - L_dec:]
-    else:
-        h = N_dec // 2
-        CH = min(128, N_dec)               # gather chunk granularity
-        NCH = N_dec // CH + 1
-        fdbl = jnp.concatenate([fdomain, fdomain[..., :N_dec]], axis=-1)
-        F2 = fdbl.reshape(-1, CH)
-        starts = (state.k - jnp.int32(h - 1)) % jnp.int32(N)
-        c = starts // CH
-        m = starts % CH
-        idx = c[:, None] + jnp.arange(NCH, dtype=jnp.int32)[None, :]
-        W = jnp.take(F2, idx, axis=0).reshape(-1, NCH * CH)
-        # 128-row shifted-response table from static slices of one padded
-        # vector: Rt[m] = [zeros(m), resp_rolled, zeros(CH - m)]
-        resp_rolled = jnp.roll(state.resp, h - 1)
+        return new_r, new_nco, y * lo
+
+    # Aligned chunk-row gather (see docstring), shared by the plain and
+    # the ISB paths: gather the window once, then run one IFFT per
+    # (possibly sideband-masked) response through the shift-table fold.
+    h = N_dec // 2
+    CH = min(128, N_dec)               # gather chunk granularity
+    NCH = N_dec // CH + 1
+    fdbl = jnp.concatenate([fdomain, fdomain[..., :N_dec]], axis=-1)
+    F2 = fdbl.reshape(-1, CH)
+    starts = (state.k - jnp.int32(h - 1)) % jnp.int32(N)
+    c = starts // CH
+    m = starts % CH
+    idx = c[:, None] + jnp.arange(NCH, dtype=jnp.int32)[None, :]
+    W = jnp.take(F2, idx, axis=0).reshape(-1, NCH * CH)
+    n_out = np.arange(N_dec - L_dec, N_dec)
+    out_fix = np.exp(-2j * np.pi * (h - 1) * n_out / N_dec).astype(
+        np.complex64
+    )
+    # undo the roll-by-m (shift theorem) + the h-1 rotation in one
+    # per-channel output ramp.  Phase reduced with an exact integer
+    # mod BEFORE the float multiply (a raw f32 m*n/N_dec reaches
+    # hundreds of radians and costs ~5e-5 of phase; reduced, it is
+    # exact to f32 rounding — same rule as fft_fourstep's twiddles).
+    nn_i = jnp.asarray(n_out.astype(np.int32))
+    mn = (m[:, None] * nn_i[None, :]) % jnp.int32(N_dec)
+    frac = mn.astype(jnp.float32) * jnp.float32(1.0 / N_dec)
+    ang = (-2.0 * np.pi) * frac
+    fix = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)) \
+        * jnp.asarray(out_fix)[None, :]
+
+    def chunked_ifft(resp_slave):
+        """IFFT of (window gather x response) for one slave-order
+        response vector — exactly ifft(f_slave)[tail] * N_dec."""
+        resp_rolled = jnp.roll(resp_slave, h - 1)
+        # shifted-response table from static slices of one padded
+        # vector: Rt[mm] = [zeros(mm), resp_rolled, zeros(CH - mm)]
         P = jnp.concatenate([
             jnp.zeros((CH,), resp_rolled.dtype),
             resp_rolled,
@@ -363,28 +363,63 @@ def bank_channelize(
             for mm in range(CH)
         ])
         S = W * jnp.take(Rt, m, axis=0)
-        # fold mod N_dec: overlap terms are exact zeros where the shifted
-        # response is zero, so this places the wrap bins, it never mixes
-        f_fd = S[:, :N_dec].at[:, :CH].add(S[:, N_dec:])
-        f_fd = f_fd * phi[:, None]
-        y = jnp.fft.ifft(f_fd, axis=-1) * N_dec
-        n_out = np.arange(N_dec - L_dec, N_dec)
-        out_fix = np.exp(-2j * np.pi * (h - 1) * n_out / N_dec).astype(
-            np.complex64
-        )
-        # undo the roll-by-m (shift theorem) + the h-1 rotation in one
-        # per-channel output ramp.  Phase reduced with an exact integer
-        # mod BEFORE the float multiply (a raw f32 m*n/N_dec reaches
-        # hundreds of radians and costs ~5e-5 of phase; reduced, it is
-        # exact to f32 rounding — same rule as fft_fourstep's twiddles).
-        nn_i = jnp.asarray(n_out.astype(np.int32))
-        mn = (m[:, None] * nn_i[None, :]) % jnp.int32(N_dec)
-        frac = mn.astype(jnp.float32) * jnp.float32(1.0 / N_dec)
-        ang = (-2.0 * np.pi) * frac
-        ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-        y = y[..., N_dec - L_dec:] * (ramp * jnp.asarray(out_fix)[None, :])
+        # fold mod N_dec: overlap terms are exact zeros where the
+        # shifted response is zero — placement, never mixing
+        f = S[:, :N_dec].at[:, :CH].add(S[:, N_dec:])
+        y = jnp.fft.ifft(f * phi[:, None], axis=-1) * N_dec
+        return y[..., N_dec - L_dec:] * fix
 
+    if isb:
+        # CROSS_CONJ ISB (filter.c:239-249) through the chunked gather:
+        # per-sideband responses (slave bins [1..h-1] pair with
+        # [h+1..N_dec-1]; 0 and h are unpaired), the unpaired base bins
+        # via a tiny 2-element gather, then the reference's combine —
+        # see _isb_combine for the mixing-order subtlety.
+        mask_pos = np.zeros(N_dec, np.float32)
+        mask_pos[: h + 1] = 1.0              # slave bins 0..h
+        resp_pos = state.resp * jnp.asarray(mask_pos)
+        resp_neg = state.resp * jnp.asarray(1.0 - mask_pos)
+        u = chunked_ifft(resp_pos)
+        l_ = chunked_ifft(resp_neg)
+        base_idx2 = jnp.stack(
+            [state.k % N, (state.k + h) % N], axis=1)   # (B, 2), tiny
+        g2 = jnp.take(fdomain, base_idx2, axis=0)
+        f0 = g2[:, 0] * state.resp[0] * phi
+        fh = g2[:, 1] * state.resp[h] * phi
+        sign = jnp.asarray(((-1.0) ** n_out).astype(np.float32))
+        base = f0[:, None] + fh[:, None] * sign[None, :]
+        u = (u - base) * lo
+        l_ = l_ * lo
+        base = base * lo
+        y = base + jax.lax.complex(2.0 * jnp.real(l_), 2.0 * jnp.imag(u))
+        return new_r, new_nco, y
+
+    y = chunked_ifft(state.resp)
     return new_r, new_nco, y * lo
+
+
+def _isb_combine(f_fd, lo, N_dec: int, L_dec: int):
+    """CROSS_CONJ ISB combine from a slave-order spectrum (the dfft-comb
+    path).  The reference mixes the full LO before the FFT, so its
+    combine sees the residual-shifted sidebands; conj does NOT commute
+    with the shift, so combining first and mixing after would put an
+    opposite-sign frequency error on one sideband.  Equivalent
+    time-domain combine (IFFT linearity on filter.c:239-249, whose loop
+    pairs p=1..h-1 with N_dec-p and leaves bins 0 and h unpaired):
+    out = base + 2j*Im(USB') + 2*Re(LSB'), base = the unpaired
+    DC/Nyquist bins, all applied AFTER per-sideband mixing."""
+    h = N_dec // 2
+    f_pos = f_fd.at[..., h + 1:].set(0)
+    f_neg = f_fd.at[..., : h + 1].set(0)
+    u = jnp.fft.ifft(f_pos, axis=-1)[..., N_dec - L_dec:] * N_dec
+    l_ = jnp.fft.ifft(f_neg, axis=-1)[..., N_dec - L_dec:] * N_dec
+    n_out = np.arange(N_dec - L_dec, N_dec)
+    sign = jnp.asarray(((-1.0) ** n_out).astype(np.float32))
+    base = f_fd[..., 0:1] + f_fd[..., h: h + 1] * sign[None, :]
+    u = (u - base) * lo
+    l_ = l_ * lo
+    base = base * lo
+    return base + jax.lax.complex(2.0 * jnp.real(l_), 2.0 * jnp.imag(u))
 
 
 def bank_demod(
