@@ -563,53 +563,63 @@ def bank_step_active(cfg: BankConfig, template, max_active: int,
 
 
 def bank_tune(
-    cfg: BankConfig, state: BankState, channel: int, freq_hz: float
+    cfg: BankConfig, state: BankState, channel: int, freq_hz: float,
+    old_freq_hz: float | None = None,
 ) -> BankState:
     """Retune one channel of a BankState without phase discontinuity
     (osc.c:24-27 semantics): the block-phase residue r keeps its value;
     only the bin shift k, the residue step dr and the residual NCO
-    frequency change.
+    frequency change (plus the group-delay phase correction difference,
+    _residual_phase_cycles — the response-sampling shift the reference's
+    own output exhibits at a retune).
+
+    old_freq_hz: the channel's previous frequency.  When given (the
+    ChannelBank path always passes it) the retune is pure host math plus
+    device-side updates; when omitted, the old residual is reconstructed
+    from the stored fixed-point NCO frequency — a host fetch, ~50 ms per
+    retune over the remote-TPU tunnel.
 
     Works on both the complex and the packed (real-dtype) state forms —
-    every tuned leaf (k, dr, nco.freq, nco.freq_resid) is real in both —
-    and re-applies any sharding the leaf carried (an eager `.at[].set`
-    across a sharded axis can come back replicated), so it is the retune
-    path for sharded banks too."""
+    every tuned leaf (k, dr, nco.*) is real in both — and re-applies any
+    sharding the leaf carried (an eager `.at[]` update across a sharded
+    axis can come back replicated), so it is the retune path for sharded
+    banks too."""
 
-    def _set(arr, val):
-        out = jnp.asarray(arr).at[channel].set(val)
-        sh = getattr(arr, "sharding", None)
+    def _resharded(arr_in, out):
+        sh = getattr(arr_in, "sharding", None)
         if sh is not None and out.sharding != sh:
             out = jax.device_put(out, sh)
         return out
+
+    def _set(arr, val):
+        return _resharded(arr, jnp.asarray(arr).at[channel].set(val))
+
+    def _add(arr, val):
+        # uint32 add wraps mod 2^32 = phase mod 1 cycle (ops.nco)
+        return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
 
     nu = freq_hz / cfg.samprate
     k = int(np.round(nu * cfg.N))
     delta = nu - k / cfg.N
     hi, resid = split_double(-delta * cfg.decimate)
-    # group-delay phase correction moves with delta (see
-    # _residual_phase_cycles): apply the DIFFERENCE so the LO phase stays
-    # continuous apart from the response-sampling shift the reference's
-    # own output exhibits.  Old delta is reconstructed from the stored
-    # fixed-point frequency (tiny host fetch; retunes are control-plane).
-    w = int(np.asarray(state.nco.freq)[channel])
-    if w >= 1 << 31:
-        w -= 1 << 32
-    old_delta = -(w / 2.0**32 +
-                  float(np.asarray(state.nco.freq_resid)[channel])) \
-        / cfg.decimate
+    if old_freq_hz is not None:
+        nu_o = old_freq_hz / cfg.samprate
+        old_delta = nu_o - int(np.round(nu_o * cfg.N)) / cfg.N
+    else:
+        w = int(np.asarray(state.nco.freq)[channel])
+        if w >= 1 << 31:
+            w -= 1 << 32
+        old_delta = -(w / 2.0**32 +
+                      float(np.asarray(state.nco.freq_resid)[channel])) \
+            / cfg.decimate
     dcorr = (_residual_phase_cycles(cfg, delta)
              - _residual_phase_cycles(cfg, old_delta))
     phi_hi, phi_resid = split_double(dcorr)
-    old_phase = int(np.asarray(state.nco.phase)[channel])
-    old_presid = float(np.asarray(state.nco.phase_resid)[channel])
     new_nco = state.nco._replace(
         freq=_set(state.nco.freq, np.uint32(hi)),
         freq_resid=_set(state.nco.freq_resid, np.float32(resid)),
-        phase=_set(state.nco.phase,
-                   np.uint32((old_phase + phi_hi) & 0xFFFFFFFF)),
-        phase_resid=_set(state.nco.phase_resid,
-                         np.float32(old_presid + phi_resid)),
+        phase=_add(state.nco.phase, np.uint32(phi_hi)),
+        phase_resid=_add(state.nco.phase_resid, np.float32(phi_resid)),
     )
     km = k % cfg.N
     return state._replace(
@@ -660,6 +670,11 @@ class ChannelBank:
             )
         else:
             self._step = jax.jit(bank_step_packed(cfg, self._template))
+        # Warm the retune path: a no-op self-tune compiles the six eager
+        # .at[] update graphs now (remote compile is seconds each; a LIVE
+        # retune must stay a ~3 ms dispatch)
+        self.state = bank_tune(cfg, self.state, 0, self.freqs[0],
+                               old_freq_hz=self.freqs[0])
 
     def _sharded_variant(self, ingest: str, pcm_out: bool):
         """Sharded twin of the lazy single-chip step variants: same
@@ -772,9 +787,13 @@ class ChannelBank:
     def tune(self, channel: int, freq_hz: float) -> None:
         """Retune one channel without phase discontinuity: the block-phase
         residue r keeps its value (phase is continuous, osc.c:24-27); only
-        the bin shift k and the residual NCO frequency change."""
+        the bin shift k and the residual NCO frequency change.  The host-
+        side frequency list supplies the old value so no device fetch is
+        needed (pure dispatch; see bank_tune)."""
+        old = self.freqs[channel]
         self.freqs[channel] = freq_hz
-        self.state = bank_tune(self.cfg, self.state, channel, freq_hz)
+        self.state = bank_tune(self.cfg, self.state, channel, freq_hz,
+                               old_freq_hz=old)
 
     def set_filter(
         self,

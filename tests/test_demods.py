@@ -618,3 +618,27 @@ class TestLongBlockCadence:
         assert abs(f_short - 400.0) < 5 and abs(f_long - 400.0) < 5
         # same audio level within 0.2 dB (response grids differ slightly)
         assert abs(20 * np.log10(amp_long / amp_short)) < 0.2
+
+
+class TestBankTunePaths:
+    def test_old_freq_path_matches_fetch_path(self):
+        """bank_tune with old_freq_hz (the fetch-free ChannelBank path)
+        produces the identical state to the fetch-reconstruction path —
+        including the group-delay phase-correction differential."""
+        import jax
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config, bank_init, bank_tune,
+        )
+        from ka9q_sdr_tpu.ops.packing import tree_c2r_np
+
+        fs, Lw, Mw = 1.536e6, 3840, 4353
+        cfg = make_bank_config(4, "AM", samprate=fs, L=Lw, M=Mw)
+        freqs = [-300e3 + 7.3, -75e3, 150e3 + 11.1, 333e3]
+        st = tree_c2r_np(jax.tree_util.tree_map(
+            np.asarray, bank_init(cfg, freqs)))
+        f_new = 200e3 + 3.7            # off-grid: nonzero residual + corr
+        a = bank_tune(cfg, st, 2, f_new, old_freq_hz=freqs[2])
+        b = bank_tune(cfg, st, 2, f_new)              # fetch fallback
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
