@@ -190,7 +190,7 @@ def main():
     # input sample).  The 20 ms row above amortises dispatch over
     # 8-block scan chunks; the k=1 row here isolates the per-dispatch
     # cost at the same geometry.
-    if frontier:
+    if frontier and ref_L > 0:
         sps_k1, _, _ = _measure(
             "FM", n_channels, samprate, ref_L, M, warmup, iters,
             enable_pl=True, use_scan=False, measure_latency=False,

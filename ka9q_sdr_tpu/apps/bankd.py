@@ -310,7 +310,10 @@ class BankDaemon:
             ch = ssrc - 1
         if freq is not None and ch is not None:
             self.bank.tune(ch, freq)
-        if filt:
+        # Filter edits apply bank-wide (the response is SHARED,
+        # filter.c:22-35) when unaddressed or validly addressed; a command
+        # carrying an out-of-range SSRC is someone else's — drop it whole.
+        if filt and (ssrc is None or ch is not None):
             self.bank.set_filter(**filt)
             self.cfg = self.bank.cfg   # edges changed; status reports them
         if ch is not None and self.status_sock is not None:
@@ -539,12 +542,20 @@ def main(argv=None) -> int:
             from ..io.assembler import BlockAssembler
 
             sock = setup_mcast(args.input, output=False)
+            # bounded wait: commands must be handled even when the input
+            # stream stalls (the native path bounds this via
+            # get_block_i16(1000))
+            sock.settimeout(1.0)
             asm = BlockAssembler(d.cfg.master.L)
             while True:
                 d.poll_commands()
-                asm.push(sock.recv(65536))
-                for block in asm.blocks():
-                    d.process_block(block)
+                try:
+                    asm.push(sock.recv(65536))
+                except OSError:   # timeout: fall through to status emit
+                    pass
+                else:
+                    for block in asm.blocks():
+                        d.process_block(block)
                 now = time.monotonic()
                 if now - last_status >= 0.1:
                     d.emit_status()

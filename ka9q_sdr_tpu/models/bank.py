@@ -302,12 +302,17 @@ def bank_channelize(
     new_r = (state.r + state.dr) % jnp.int32(N)
     new_nco, lo = jax.vmap(lambda s: osc_block(s, L_dec))(state.nco)
 
-    if bin_perm is not None:
-        # permuted layouts (distributed-FFT comb): the comb scatters
-        # consecutive bins across devices, so this stays a per-element
-        # gather (the cross-device layout has no aligned rows to exploit)
+    CH = min(128, N_dec)               # gather chunk granularity
+    aligned = N_dec % CH == 0 and (N + N_dec) % CH == 0
+    if bin_perm is not None or not aligned:
+        # Per-element gather for layouts the aligned chunk path can't
+        # serve: the distributed-FFT comb (consecutive bins scattered
+        # across devices) and slave geometries whose N_dec is not a
+        # multiple of the 128-bin chunk (rare non-power-of-two configs;
+        # ~30x slower, correctness unchanged).
         idx = (jnp.asarray(cfg.base_idx)[None, :] + state.k[:, None]) % N
-        idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
+        if bin_perm is not None:
+            idx = jnp.take(jnp.asarray(bin_perm), idx, axis=0)
         gathered = jnp.take(fdomain, idx, axis=0)      # (B, N_dec)
         f_fd = gathered * state.resp[None, :] * phi[:, None]
         if isb:
@@ -322,7 +327,6 @@ def bank_channelize(
     # the ISB paths: gather the window once, then run one IFFT per
     # (possibly sideband-masked) response through the shift-table fold.
     h = N_dec // 2
-    CH = min(128, N_dec)               # gather chunk granularity
     NCH = N_dec // CH + 1
     fdbl = jnp.concatenate([fdomain, fdomain[..., :N_dec]], axis=-1)
     F2 = fdbl.reshape(-1, CH)
@@ -556,6 +560,10 @@ def bank_step_active(cfg: BankConfig, template, max_active: int,
         # mark channels whose int16 audio is all-zero as inactive: this is
         # exactly the all-zero-packet criterion of audio.c:54
         active = jnp.max(jnp.abs(pcm), axis=-1) > 0
+        if n_valid is not None and n_valid < flat.shape[0]:
+            # mesh-padding rows can still fill slots when
+            # max_active > n_valid: keep the "-1 = unused" contract
+            active = active & (idx < n_valid)
         idx = jnp.where(active, idx, -1)
         return tree_c2r(new_state), pcm, idx.astype(jnp.int32), diag
 

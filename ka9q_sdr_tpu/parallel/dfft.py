@@ -73,10 +73,11 @@ def make_dfft_sm(mesh: Mesh, N: int, axis: str = "ch"):
         tw = jnp.exp(
             (-2j * jnp.pi / N) * (jj.astype(jnp.float32) * q.astype(jnp.float32))
         ).astype(jnp.complex64)
-        # the per-device FFT is itself large at flagship N (N=2^20 over 8
-        # devices -> Q=2^17): use the four-step decomposition above the
-        # same threshold as the replicated master (ops.fftfilt, measured
-        # ~6x on TPU for monolithic large 1D FFTs)
+        # use the four-step decomposition above the same measured
+        # threshold as the replicated master (FOURSTEP_MIN = 2^25, where
+        # the decomposition wins 1.7x; below it the monolithic FFT
+        # matches or wins — re-measured r3).  Only reachable for very
+        # large per-device slices (e.g. N = 2^26 on 2 devices).
         if Q >= FOURSTEP_MIN:
             return fft_fourstep(y * tw)
         return jnp.fft.fft(y * tw)

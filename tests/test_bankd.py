@@ -302,3 +302,27 @@ class TestBankdStatusAddressing:
         pairs = list(st.decode_packet(sent[0][1:]))
         assert pairs[0][0] == StatusType.OUTPUT_SSRC
         assert st.decode_int(pairs[0][1]) == 4
+
+
+def test_filter_command_with_foreign_ssrc_dropped_whole(tmp_path):
+    """A command packet addressed to an out-of-range SSRC belongs to some
+    other instance: its filter edits must be dropped along with its tune
+    (previously the tune was rejected but the shared response was still
+    narrowed bank-wide)."""
+    d = _daemon(tmp_path, "fz", output=GROUP)
+    low0, high0 = d.bank.cfg.mode.low, d.bank.cfg.mode.high
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 99)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1.0)
+    st.encode_float(pkt, StatusType.LOW_EDGE, -200.0)
+    st.encode_float(pkt, StatusType.HIGH_EDGE, 200.0)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.bank.cfg.mode.low == low0 and d.bank.cfg.mode.high == high0
+    # unaddressed filter edits still apply bank-wide (shared response)
+    pkt2 = bytearray([1])
+    st.encode_float(pkt2, StatusType.LOW_EDGE, -200.0)
+    st.encode_float(pkt2, StatusType.HIGH_EDGE, 200.0)
+    st.encode_eol(pkt2)
+    d.handle_command(bytes(pkt2))
+    assert d.bank.cfg.mode.low == -200.0 and d.bank.cfg.mode.high == 200.0

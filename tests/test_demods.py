@@ -642,3 +642,29 @@ class TestBankTunePaths:
         for la, lb in zip(jax.tree_util.tree_leaves(a),
                           jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+class TestNonAlignedGeometry:
+    def test_non_chunk_multiple_ndec_falls_back(self):
+        """A slave geometry whose N_dec is not a multiple of the 128-bin
+        gather chunk (N=6144, N_dec=192) routes through the per-element
+        fallback and still demodulates correctly."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+
+        fs = 1.536e6
+        Lw, Mw = 3072, 3073        # N = 6144, decim 32 -> N_dec = 192
+        cfg = make_bank_config(2, "AM", samprate=fs, L=Lw, M=Mw)
+        assert cfg.N_dec % 128 != 0
+        f0 = 200e3 + 7.0
+        bank = ChannelBank(cfg, [f0, -100e3])
+        out = []
+        for b in range(30):
+            tt = (b * Lw + np.arange(Lw)) / fs
+            iq = (0.2 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+                  * np.exp(2j * np.pi * f0 * tt)).astype(np.complex64)
+            audio, _ = bank.process(iq)
+            out.append(np.asarray(audio)[0])
+        a = np.concatenate(out)[len(out[0]) * 10:]
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+        f = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+        assert abs(f[np.argmax(spec[3:]) + 3] - 400.0) < 10.0

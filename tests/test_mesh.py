@@ -172,3 +172,30 @@ def test_multibank_shards_each_group():
     # the sharded audio really is distributed over the mesh
     aud = a.process(x[:L])[0][0]
     assert len({s.device for s in aud.addressable_shards}) == 8
+
+
+def test_active_compaction_never_reports_padding_rows():
+    """process_active with n_valid and max_active > n_valid: padding rows
+    must come back as idx = -1 (the documented unused-slot contract),
+    never as a pad channel index duplicating a real channel's audio."""
+    from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+    from ka9q_sdr_tpu.parallel.mesh import pad_channels
+
+    n_real = 5
+    freqs = pad_channels(
+        list(np.linspace(-0.4 * SAMPRATE, 0.4 * SAMPRATE, n_real,
+                         endpoint=False)), 8)
+    cfg = make_bank_config(8, "AM", samprate=SAMPRATE, L=L, M=M)
+    mesh = make_channel_mesh(8)
+    bank = ChannelBank(cfg, freqs, mesh=mesh)
+    tt = np.arange(L) / SAMPRATE
+    x = sum(0.2 * (1 + 0.5 * np.sin(2 * np.pi * 400 * tt))
+            * np.exp(2j * np.pi * f * tt) for f in freqs[:n_real])
+    xi = np.empty((L, 2), np.int16)
+    xi[:, 0] = np.clip(x.real * 32767, -32768, 32767)
+    xi[:, 1] = np.clip(x.imag * 32767, -32768, 32767)
+    for _ in range(3):
+        pcm, idx, _ = bank.process_active(xi, max_active=8, n_valid=n_real)
+    idx = np.asarray(idx)
+    assert set(idx[idx >= 0]) <= set(range(n_real))
+    assert np.sum(idx >= 0) <= n_real
