@@ -32,7 +32,7 @@ from ..io.pcm import PCMOutput
 from ..io.iqfile import IQReader
 from ..utils.misc import parse_frequency
 
-__all__ = ["main", "BankDaemon"]
+__all__ = ["main", "BankDaemon", "MultiBankDaemon"]
 
 
 def read_channel_file(path: str, default_mode: str = "FM"):
@@ -357,58 +357,150 @@ class BankDaemon:
             pass
 
 
-def run_multibank(args, groups) -> int:
-    """Mixed-mode path: one shared wideband FFT, a demod group per mode
-    (models.bank.MultiBank).  --mesh shards every group's channel axis
-    (groups padded per-group; padded rows never reach the wire)."""
-    from ..models.bank import MultiBank
+class MultiBankDaemon:
+    """Mixed-mode daemon: one shared wideband FFT, a demod group per mode
+    (models.bank.MultiBank), with the SAME TLV command plane as the
+    single-mode BankDaemon — every channel of every group is remotely
+    retunable by OUTPUT_SSRC, and filter-edge commands hot-swap the
+    ADDRESSED CHANNEL'S GROUP response (each group is its own
+    slave-filter family, filter.c:22-35)."""
 
-    samprate = float(args.samprate)
-    decim = round(samprate / 48000)
-    L = args.L or 960 * decim
-    M = args.M or (2048 * decim - L + 1)
-    mesh = None
-    if getattr(args, "mesh", 0):
-        from ..parallel.mesh import make_channel_mesh
+    def __init__(self, args, groups):
+        samprate = float(args.samprate)
+        decim = round(samprate / 48000)
+        L = args.L or 960 * decim
+        M = args.M or (2048 * decim - L + 1)
+        mesh = None
+        if getattr(args, "mesh", 0):
+            from ..parallel.mesh import make_channel_mesh
 
-        mesh = make_channel_mesh(args.mesh)
-    mb = MultiBank(groups, samprate=samprate, L=L, M=M, mesh=mesh)
-    out_sock = None
-    if args.output:
-        out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
-    # SSRC numbering: sequential over all channels in group order
-    pcms = []
-    ssrc = 1
-    for mode, freqs in groups:
-        row = []
-        for _ in freqs:
-            row.append(PCMOutput(
-                send=(out_sock.send if out_sock else (lambda d: None)),
-                ssrc=ssrc))
-            ssrc += 1
-        pcms.append(row)
-    raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
-    n = 0
-    if not args.iq_file:
-        print("multibank currently supports --iq-file input", file=sys.stderr)
-        return 1
-    for block in IQReader(args.iq_file).blocks(L):
-        outs = mb.process(block)
-        for (audio, diag), row in zip(outs, pcms):
+            mesh = make_channel_mesh(args.mesh)
+        from ..models.bank import MultiBank
+
+        self.mb = MultiBank(groups, samprate=samprate, L=L, M=M, mesh=mesh)
+        self.groups = groups
+        # SSRC numbering: sequential over REAL channels in group order;
+        # ssrc_map[ssrc] = (group, idx)
+        self.ssrc_map = {}
+        ssrc = 1
+        self.out_sock = self.status_sock = self.cmd_sock = None
+        if args.output:
+            self.out_sock = setup_mcast(args.output, output=True,
+                                        ttl=args.ttl)
+            self.status_sock = setup_mcast(args.output, output=True,
+                                           ttl=args.ttl, offset=2)
+            self.cmd_sock = setup_mcast(args.output, output=False, offset=2)
+        self.pcms = []
+        for g, (mode, freqs) in enumerate(groups):
+            row = []
+            for i in range(len(freqs)):
+                self.ssrc_map[ssrc] = (g, i)
+                row.append(PCMOutput(
+                    send=(self.out_sock.send if self.out_sock
+                          else (lambda d: None)),
+                    ssrc=ssrc))
+                ssrc += 1
+            self.pcms.append(row)
+        self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
+        self.commands = 0
+        self.blocks_done = 0
+
+    def handle_command(self, data: bytes) -> None:
+        """TLV command ingest (radio_status.c:217-318) for the mixed-mode
+        bank: OUTPUT_SSRC addresses one channel across all groups."""
+        if not data or data[0] != 1:
+            return
+        self.commands += 1
+        ssrc = None
+        freq = None
+        filt: dict = {}
+        for t, v in st.decode_packet(data[1:]):
+            if t == StatusType.OUTPUT_SSRC:
+                ssrc = int(st.decode_int(v))
+            elif t == StatusType.RADIO_FREQUENCY:
+                freq = st.decode_double(v)
+            elif t == StatusType.LOW_EDGE:
+                filt["low"] = st.decode_float(v)
+            elif t == StatusType.HIGH_EDGE:
+                filt["high"] = st.decode_float(v)
+            elif t == StatusType.KAISER_BETA:
+                filt["kaiser_beta"] = st.decode_float(v)
+        gi = self.ssrc_map.get(ssrc) if ssrc is not None else None
+        if ssrc is not None and gi is None:
+            return                       # someone else's command: drop whole
+        if freq is not None and gi is not None:
+            self.mb.tune(gi[0], gi[1], freq)
+        if filt and gi is not None:      # group response needs an address
+            self.mb.set_filter(gi[0], **filt)
+        if gi is not None and self.status_sock is not None:
+            try:
+                self.status_sock.send(self._channel_status_pkt(ssrc))
+            except OSError:
+                pass
+
+    def _channel_status_pkt(self, ssrc: int) -> bytes:
+        g, i = self.ssrc_map[ssrc]
+        cfg = self.mb.cfgs[g]
+        pkt = bytearray([0])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, ssrc)
+        st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
+                         float(self.mb.group_freqs[g][i]))
+        st.encode_string(pkt, StatusType.RADIO_MODE, cfg.mode.name)
+        st.encode_float(pkt, StatusType.LOW_EDGE, cfg.mode.low)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, cfg.mode.high)
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(cfg.samprate))
+        st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        st.encode_eol(pkt)
+        return bytes(pkt)
+
+    def poll_commands(self) -> None:
+        if self.cmd_sock is None:
+            return
+        while True:
+            ready, _, _ = select.select([self.cmd_sock], [], [], 0)
+            if not ready:
+                return
+            try:
+                self.handle_command(self.cmd_sock.recv(9000))
+            except OSError:
+                return
+
+    def process_block(self, block) -> None:
+        outs = self.mb.process(block)
+        for (audio, diag), row in zip(outs, self.pcms):
             a = np.asarray(audio)[: len(row)]   # drop mesh-padding rows
             for ch, out in enumerate(row):
                 if a.ndim == 3:
                     out.send_stereo(a[ch])
                 else:
                     out.send_mono(a[ch])
-            if raw is not None:
-                raw.write(np.clip(a * 32767, -32768, 32767)
-                          .astype("<i2").tobytes())
-        n += 1
-        if args.blocks and n >= args.blocks:
+            if self.raw is not None:
+                self.raw.write(np.clip(a * 32767, -32768, 32767)
+                               .astype("<i2").tobytes())
+        self.blocks_done += 1
+
+    def close(self) -> None:
+        if self.raw:
+            self.raw.close()
+
+
+def run_multibank(args, groups) -> int:
+    """Mixed-mode path entry: one shared wideband FFT, a demod group per
+    mode, full TLV command plane (MultiBankDaemon).  --mesh shards every
+    group's channel axis (groups padded per-group; padded rows never
+    reach the wire)."""
+    d = MultiBankDaemon(args, groups)
+    if not args.iq_file:
+        print("multibank currently supports --iq-file input", file=sys.stderr)
+        return 1
+    L = d.mb.cfgs[0].master.L
+    for block in IQReader(args.iq_file).blocks(L):
+        d.poll_commands()
+        d.process_block(block)
+        if args.blocks and d.blocks_done >= args.blocks:
             break
-    if raw:
-        raw.close()
+    d.close()
     return 0
 
 

@@ -877,6 +877,7 @@ class MultiBank:
                 (mode, pad_channels(freqs, mesh.devices.size))
                 for mode, freqs in groups
             ]
+        self.group_freqs = [list(freqs) for _, freqs in groups]
         self.cfgs = []
         templates = []
         for mode, freqs in groups:
@@ -946,6 +947,57 @@ class MultiBank:
             x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
         self.states, outs = self._step(self.states, x_r)
         return outs
+
+    def tune(self, group: int, idx: int, freq_hz: float) -> None:
+        """Retune one channel of one demod group, phase-continuously
+        (ChannelBank.tune semantics; every channel of the mixed-mode bank
+        is individually retunable like every reference receiver)."""
+        old = self.group_freqs[group][idx]
+        self.group_freqs[group][idx] = freq_hz
+        self.states[group] = bank_tune(
+            self.cfgs[group], self.states[group], idx, freq_hz,
+            old_freq_hz=old,
+        )
+
+    def set_filter(
+        self,
+        group: int,
+        low: float | None = None,
+        high: float | None = None,
+        kaiser_beta: float | None = None,
+    ) -> None:
+        """Hot-swap ONE group's shared frequency response (set_filter,
+        filter.c:500-546) with no recompile — the other groups' responses
+        are untouched (each group is its own slave-filter family)."""
+        from dataclasses import replace as dc_replace
+
+        from ..ops.packing import c2r_np
+
+        cfg = self.cfgs[group]
+        mode = cfg.mode
+        low = mode.low if low is None else low
+        high = mode.high if high is None else high
+        beta = cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
+        out_type = (
+            FilterType.CROSS_CONJ
+            if (mode.demod == "LINEAR" and mode.isb)
+            else FilterType.COMPLEX
+        )
+        slave = SlaveSpec(cfg.master, cfg.decimate, out_type)
+        resp = set_filter_response(
+            slave, low / cfg.dsamprate, high / cfg.dsamprate, beta
+        )
+        self.cfgs[group] = cfg._replace(
+            mode=dc_replace(mode, low=low, high=high),
+            response=resp,
+            kaiser_beta=beta,
+        )
+        leaf = jnp.asarray(c2r_np(resp))
+        old = self.states[group].resp
+        sh = getattr(old, "sharding", None)
+        if sh is not None and hasattr(old, "devices"):
+            leaf = jax.device_put(leaf, sh)
+        self.states[group] = self.states[group]._replace(resp=leaf)
 
 
 def make_bank(

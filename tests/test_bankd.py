@@ -326,3 +326,99 @@ def test_filter_command_with_foreign_ssrc_dropped_whole(tmp_path):
     st.encode_eol(pkt2)
     d.handle_command(bytes(pkt2))
     assert d.bank.cfg.mode.low == -200.0 and d.bank.cfg.mode.high == 200.0
+
+
+class TestMultiBankCommandPlane:
+    """The mixed-mode daemon is as commandable as the single-mode one:
+    every channel of every group addressable by OUTPUT_SSRC (sequential
+    over real channels in group order)."""
+
+    def _daemon(self, tmp_path, tag="mb"):
+        from ka9q_sdr_tpu.apps.bankd import MultiBankDaemon, build_parser
+
+        argv = ["--iq-file", "unused", "-r", str(SAMPRATE),
+                "--L", str(L), "--M", str(M), "--no-native",
+                "--pcm-raw", str(tmp_path / f"{tag}.pcm"), "-R", GROUP]
+        args = build_parser().parse_args(argv)
+        groups = [("AM", _freqs(3)), ("USB", [100e3, 200e3])]
+        return MultiBankDaemon(args, groups)
+
+    def test_ssrc_maps_across_groups(self, tmp_path):
+        d = self._daemon(tmp_path)
+        assert d.ssrc_map[1] == (0, 0)
+        assert d.ssrc_map[3] == (0, 2)
+        assert d.ssrc_map[4] == (1, 0)   # first USB channel
+        assert d.ssrc_map[5] == (1, 1)
+
+    def test_wire_retune_addresses_the_right_group(self, tmp_path):
+        d = self._daemon(tmp_path)
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 5)   # USB group, ch 1
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 222e3)
+        st.encode_eol(pkt)
+        sent = []
+        d.status_sock = type("S", (), {"send": lambda s, b: sent.append(b)})()
+        d.handle_command(bytes(pkt))
+        assert d.mb.group_freqs[1][1] == 222e3
+        assert d.mb.group_freqs[0] == _freqs(3)          # AM group untouched
+        # answered with the addressed channel's status
+        items = dict(st.decode_packet(sent[0][1:]))
+        assert st.decode_int(items[StatusType.OUTPUT_SSRC]) == 5
+        assert st.decode_double(items[StatusType.RADIO_FREQUENCY]) == 222e3
+        assert items[StatusType.RADIO_MODE].decode() == "USB"
+
+    def test_filter_command_swaps_only_the_addressed_group(self, tmp_path):
+        d = self._daemon(tmp_path)
+        resp_am_0 = np.asarray(d.mb.cfgs[0].response).copy()
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 4)   # USB group
+        st.encode_float(pkt, StatusType.LOW_EDGE, 150.0)
+        st.encode_float(pkt, StatusType.HIGH_EDGE, 1500.0)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))
+        assert d.mb.cfgs[1].mode.low == 150.0
+        assert d.mb.cfgs[1].mode.high == 1500.0
+        np.testing.assert_array_equal(
+            np.asarray(d.mb.cfgs[0].response), resp_am_0)
+        # foreign SSRC: dropped whole
+        pkt2 = bytearray([1])
+        st.encode_int(pkt2, StatusType.OUTPUT_SSRC, 99)
+        st.encode_float(pkt2, StatusType.LOW_EDGE, -1.0)
+        st.encode_eol(pkt2)
+        d.handle_command(bytes(pkt2))
+        assert d.mb.cfgs[1].mode.low == 150.0
+
+    def test_retuned_channel_audio_follows(self, tmp_path):
+        """End to end: retune a USB channel onto a live carrier mid-run;
+        its PCM grows a tone while the AM group's PCM is unchanged vs an
+        uncommanded run."""
+        a = self._daemon(tmp_path, "cmd")
+        b = self._daemon(tmp_path, "ref")
+        f_sig = 222e3 + 1000.0          # 1 kHz above the retune target
+        freqs_am = _freqs(3)
+        def block(n):
+            t = (n * L + np.arange(L)) / SAMPRATE
+            return (0.2 * np.exp(2j * np.pi * f_sig * t)
+                    + _am(freqs_am[1], t)).astype(np.complex64)
+        for n in range(4):
+            a.process_block(block(n))
+            b.process_block(block(n))
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 5)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 222e3)
+        st.encode_eol(pkt)
+        a.handle_command(bytes(pkt))
+        for n in range(4, 12):
+            a.process_block(block(n))
+            b.process_block(block(n))
+        a.close(); b.close()
+        l_dec = L // 32
+        ra = np.frombuffer(open(tmp_path / "cmd.pcm", "rb").read(), "<i2")
+        rb = np.frombuffer(open(tmp_path / "ref.pcm", "rb").read(), "<i2")
+        # layout per block: AM group (3, l_dec) then USB group (2, l_dec)
+        ra = ra.reshape(-1, 5, l_dec)
+        rb = rb.reshape(-1, 5, l_dec)
+        np.testing.assert_array_equal(ra[:, :3], rb[:, :3])   # AM untouched
+        tail = ra[8:, 4].ravel().astype(np.float64)           # USB ch 1
+        assert np.sqrt((tail**2).mean()) > 20 * max(
+            np.sqrt((rb[8:, 4].ravel().astype(np.float64)**2).mean()), 1.0)
