@@ -127,14 +127,20 @@ def main():
     # ~2.1, at the cost of a 148 ms block (fine for monitoring-scale
     # channelisation; the reference-cadence 20 ms row below keeps the
     # Opus-friendly latency).
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
+    # r3 channel-scaling sweep (measured): the per-channel stages scale
+    # linearly and the chip saturates near 3.0M ch*Msps —
+    #   2048 ch: 2.04M (2.54x rt) | 4096: 2.67M (1.66x) |
+    #   6144 ch: 2.92M (1.21x rt) | 8192: 3.00M (0.93x, SUB-realtime)
+    # 6144 is the widest sustained-realtime point -> flagship headline.
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "6144"))
     samprate = float(os.environ.get("BENCH_SAMPRATE", str(393.216e6)))
     L = int(os.environ.get("BENCH_L", str(58195968)))    # L_dec = 7104
     M = int(os.environ.get("BENCH_M", str(8912897)))     # M_dec = 1089
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     ref_L = int(os.environ.get("BENCH_REF_L", str(7864320)))   # 20 ms
-    frontier = os.environ.get("BENCH_FRONTIER", "1") != "0"
+    serve_channels = int(os.environ.get("BENCH_SERVE_CHANNELS", "4096"))
+    frontier = os.environ.get("BENCH_FRONTIER", "0") != "0"
     pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "2048"))
     pll_samprate = float(os.environ.get("BENCH_PLL_SAMPRATE", str(24.576e6)))
     pll_L = int(os.environ.get("BENCH_PLL_L", str(491520)))
@@ -167,17 +173,19 @@ def main():
         file=sys.stderr,
     )
 
-    # Reference-cadence row: same bank at 20 ms blocks (Opus-friendly)
-    if ref_L > 0:
+    # Serving row: the Opus-friendly 20 ms cadence at the widest channel
+    # count with comfortable realtime margin — "N simultaneous 48 kHz FM
+    # receivers from one 393 Msps stream at 20 ms latency on one chip".
+    if ref_L > 0 and serve_channels > 0:
         sps_r, p50r, p99r = _measure(
-            "FM", n_channels, samprate, ref_L, M, warmup, iters,
+            "FM", serve_channels, samprate, ref_L, M, warmup, iters,
             enable_pl=True,
         )
         print(
-            f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank "
-            f"(20 ms blocks): {sps_r/1e6:.2f} Msps "
+            f"# FM+PL {serve_channels} ch x {samprate/1e6:.3f} Msps bank "
+            f"(20 ms blocks, serving cadence): {sps_r/1e6:.2f} Msps "
             f"({sps_r/samprate:.2f}x realtime), "
-            f"{n_channels*sps_r/1e6:.0f} ch*Msps, "
+            f"{serve_channels*sps_r/1e6:.0f} ch*Msps, "
             f"round-trip p50 {p50r:.2f} ms / p99 {p99r:.2f} ms",
             file=sys.stderr,
         )
@@ -211,6 +219,22 @@ def main():
             f"# frontier 62.7 ms (L_dec=3008): "
             f"{sps_m/1e6:.2f} Msps ({sps_m/samprate:.2f}x realtime), "
             f"{n_channels*sps_m/1e6:.0f} ch*Msps  [N/L=1.36]",
+            file=sys.stderr,
+        )
+
+    # Scaling row: the r2-geometry 2048-channel long-block point, for
+    # longitudinal comparison across rounds (r2: 929-997 Msps).
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        sps_s, _, _ = _measure(
+            "FM", 2048, samprate, L, M, warmup, max(6, iters // 2),
+            enable_pl=True, use_scan=False, measure_latency=False,
+        )
+        print(
+            f"# scaling: 2048 ch long blocks: {sps_s/1e6:.2f} Msps "
+            f"({sps_s/samprate:.2f}x realtime), "
+            f"{2048*sps_s/1e6:.0f} ch*Msps  "
+            f"[measured curve: 2048->2.04M, 4096->2.67M, 6144->2.92M, "
+            f"8192->3.00M ch*Msps (8192 is 0.93x rt, sub-realtime)]",
             file=sys.stderr,
         )
 

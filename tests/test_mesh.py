@@ -174,6 +174,53 @@ def test_multibank_shards_each_group():
     assert len({s.device for s in aud.addressable_shards}) == 8
 
 
+def test_multibank_tune_and_filter_swap_on_sharded_state():
+    """MultiBank.tune / set_filter on MESH-sharded states (the daemon's
+    command-plane path with bankd --mesh): bank_tune's .at[] update and
+    the response swap must re-apply the channel-axis sharding, and the
+    result must track an unmeshed MultiBank given the same commands."""
+    from ka9q_sdr_tpu.models.bank import MultiBank
+
+    usable = 0.9 * SAMPRATE
+    am_freqs = list(np.linspace(-usable / 2, 0, 3, endpoint=False))
+    usb_freqs = [1e4, 1e5]
+    groups = [("AM", am_freqs), ("USB", usb_freqs)]
+    mesh = make_channel_mesh(8)
+    a = MultiBank(groups, samprate=SAMPRATE, L=L, M=M, mesh=mesh)
+    b = MultiBank(groups, samprate=SAMPRATE, L=L, M=M)
+
+    f_new = 2.2e5
+    tt_of = lambda blk: (blk * L + np.arange(L)) / SAMPRATE
+    def block(blk):
+        t = tt_of(blk)
+        return (0.2 * np.exp(2j * np.pi * (f_new + 1000.0) * t)
+                + 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 400 * t))
+                * np.exp(2j * np.pi * am_freqs[1] * t)).astype(np.complex64)
+
+    for blk in range(2):
+        a.process(block(blk)); b.process(block(blk))
+    # retune USB ch 1 onto the carrier, narrow the USB group's filter
+    for mb in (a, b):
+        mb.tune(1, 1, f_new)
+        mb.set_filter(1, low=50.0, high=2800.0)
+    # tuned leaves keep their sharding after the eager updates
+    from ka9q_sdr_tpu.parallel.mesh import CHANNEL_AXIS
+    spec = a.states[1].k.sharding.spec
+    assert spec and spec[0] == CHANNEL_AXIS, spec
+    assert a.states[1].resp.sharding.is_fully_replicated
+    for blk in range(2, 5):
+        outs_a = a.process(block(blk))
+        outs_b = b.process(block(blk))
+    for g in range(2):
+        n = a.group_real[g]
+        np.testing.assert_allclose(
+            np.asarray(outs_a[g][0])[:n], np.asarray(outs_b[g][0])[:n],
+            atol=3e-4, rtol=1e-3, err_msg=f"group {g} diverged post-tune")
+    # and the retuned channel actually carries the tone now
+    aud = np.asarray(outs_a[1][0])[1]
+    assert np.sqrt((aud.astype(np.float64) ** 2).mean()) > 1e-3
+
+
 def test_active_compaction_never_reports_padding_rows():
     """process_active with n_valid and max_active > n_valid: padding rows
     must come back as idx = -1 (the documented unused-slot contract),
