@@ -25,6 +25,8 @@ import numpy as np
 
 def _measure(mode, n_channels, samprate, L, M, warmup, iters,
              use_scan=True, measure_latency=True, **cfg_kw):
+    print(f"# measuring {mode} {n_channels} ch x {samprate/1e6:.3f} Msps "
+          f"L={L}...", file=sys.stderr, flush=True)
     import jax
     from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
     from ka9q_sdr_tpu.utils.runtime import configure_jax
@@ -238,11 +240,30 @@ def main():
             file=sys.stderr,
         )
 
-    # Secondary row: the heaviest mode — a PLL (CAM) bank with the
-    # decimated acquisition ring (demod_linear.py).  Default 2048
-    # channels: the measured PLL-bank scaling claim (CLAUDE.md) ships in
-    # the artifact.
+    # Heaviest-mode rows: PLL (CAM) banks with the decimated acquisition
+    # ring (demod_linear.py).  r3 found the PLL bank scales with master
+    # span just like FM: the wide row is the headline-class claim, the
+    # 24.576 Msps row keeps longitudinal comparability with r2/r3-early.
     if pll_channels > 0:
+        # Wide CAM flagship: same 393.216 Msps master as the FM bank.
+        # k=1 (no scan chunk): the scan program at this geometry is a
+        # multi-minute compile for a ~7% dispatch saving.
+        wide_sr = float(os.environ.get("BENCH_PLL_WIDE_SAMPRATE",
+                                       str(393.216e6)))
+        wide_ch = int(os.environ.get("BENCH_PLL_WIDE_CHANNELS", "4096"))
+        if wide_sr > 0 and wide_ch > 0:
+            sps_w, p50w, p99w = _measure(
+                "CAM", wide_ch, wide_sr, 7864320, 8912897,
+                warmup, iters, use_scan=False,
+            )
+            print(
+                f"# CAM(PLL) {wide_ch} ch x {wide_sr/1e6:.3f} Msps "
+                f"bank (20 ms blocks, k=1): {sps_w/1e6:.2f} Msps "
+                f"({sps_w/wide_sr:.2f}x realtime), "
+                f"{wide_ch * sps_w / 1e6:.0f} ch*Msps, "
+                f"round-trip p50 {p50w:.2f} ms / p99 {p99w:.2f} ms",
+                file=sys.stderr,
+            )
         sps2, p50b, p99b = _measure(
             "CAM", pll_channels, pll_samprate, pll_L, pll_M, warmup, iters
         )
