@@ -142,6 +142,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     ref_L = int(os.environ.get("BENCH_REF_L", str(7864320)))   # 20 ms
     serve_channels = int(os.environ.get("BENCH_SERVE_CHANNELS", "4096"))
+    # The cadence-frontier rows (20 ms k=1 + 62.7 ms midpoint) defaulted
+    # ON through r3-early; their measured values are recorded in
+    # ARCHITECTURE.md §6b and they were dropped from the default run to
+    # make room for the r3 channel-scaling rows at similar wall time.
+    # BENCH_FRONTIER=1 reproduces them.
     frontier = os.environ.get("BENCH_FRONTIER", "0") != "0"
     pll_channels = int(os.environ.get("BENCH_PLL_CHANNELS", "2048"))
     pll_samprate = float(os.environ.get("BENCH_PLL_SAMPRATE", str(24.576e6)))

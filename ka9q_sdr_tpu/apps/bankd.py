@@ -73,6 +73,43 @@ def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
     return l_dec * decim, (1089 - 1) * decim + 1
 
 
+def parse_command(data: bytes):
+    """Parse one TLV command packet (cmd byte 1) into
+    (ssrc, freq, filter_kwargs); None if not a command packet.  Shared by
+    the single-mode and mixed-mode daemons (radio_status.c:217-318)."""
+    if not data or data[0] != 1:
+        return None
+    ssrc = None
+    freq = None
+    filt: dict = {}
+    for t, v in st.decode_packet(data[1:]):
+        if t == StatusType.OUTPUT_SSRC:
+            ssrc = int(st.decode_int(v))
+        elif t == StatusType.RADIO_FREQUENCY:
+            freq = st.decode_double(v)
+        elif t == StatusType.LOW_EDGE:
+            filt["low"] = st.decode_float(v)
+        elif t == StatusType.HIGH_EDGE:
+            filt["high"] = st.decode_float(v)
+        elif t == StatusType.KAISER_BETA:
+            filt["kaiser_beta"] = st.decode_float(v)
+    return ssrc, freq, filt
+
+
+def poll_commands(sock, handler) -> None:
+    """Drain pending command packets (non-blocking) into handler."""
+    if sock is None:
+        return
+    while True:
+        ready, _, _ = select.select([sock], [], [], 0)
+        if not ready:
+            return
+        try:
+            handler(sock.recv(9000))
+        except OSError:
+            return
+
+
 class BankDaemon:
     def __init__(self, args, freqs):
         self.args = args
@@ -288,23 +325,11 @@ class BankDaemon:
         a group share one response, filter.c:22-35) with no recompile.
         Each addressed command is answered with that channel's status, as
         the reference answers every command poll."""
-        if not data or data[0] != 1:
+        parsed = parse_command(data)
+        if parsed is None:
             return
         self.commands += 1
-        ssrc = None
-        freq = None
-        filt: dict = {}
-        for t, v in st.decode_packet(data[1:]):
-            if t == StatusType.OUTPUT_SSRC:
-                ssrc = int(st.decode_int(v))
-            elif t == StatusType.RADIO_FREQUENCY:
-                freq = st.decode_double(v)
-            elif t == StatusType.LOW_EDGE:
-                filt["low"] = st.decode_float(v)
-            elif t == StatusType.HIGH_EDGE:
-                filt["high"] = st.decode_float(v)
-            elif t == StatusType.KAISER_BETA:
-                filt["kaiser_beta"] = st.decode_float(v)
+        ssrc, freq, filt = parsed
         ch = None
         if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
@@ -324,16 +349,7 @@ class BankDaemon:
 
     def poll_commands(self) -> None:
         """Drain pending command packets (non-blocking)."""
-        if self.cmd_sock is None:
-            return
-        while True:
-            ready, _, _ = select.select([self.cmd_sock], [], [], 0)
-            if not ready:
-                return
-            try:
-                self.handle_command(self.cmd_sock.recv(9000))
-            except OSError:
-                return
+        poll_commands(self.cmd_sock, self.handle_command)
 
     def emit_status(self) -> None:
         if self.status_sock is None:
@@ -367,9 +383,10 @@ class MultiBankDaemon:
 
     def __init__(self, args, groups):
         samprate = float(args.samprate)
-        decim = round(samprate / 48000)
-        L = args.L or 960 * decim
-        M = args.M or (2048 * decim - L + 1)
+        if args.L:
+            L, M = args.L, args.M
+        else:
+            L, M = derive_geometry(samprate, getattr(args, "block_ms", 20.0))
         mesh = None
         if getattr(args, "mesh", 0):
             from ..parallel.mesh import make_channel_mesh
@@ -378,7 +395,6 @@ class MultiBankDaemon:
         from ..models.bank import MultiBank
 
         self.mb = MultiBank(groups, samprate=samprate, L=L, M=M, mesh=mesh)
-        self.groups = groups
         # SSRC numbering: sequential over REAL channels in group order;
         # ssrc_map[ssrc] = (group, idx)
         self.ssrc_map = {}
@@ -395,36 +411,31 @@ class MultiBankDaemon:
             row = []
             for i in range(len(freqs)):
                 self.ssrc_map[ssrc] = (g, i)
-                row.append(PCMOutput(
-                    send=(self.out_sock.send if self.out_sock
-                          else (lambda d: None)),
-                    ssrc=ssrc))
+                row.append(PCMOutput(send=self._sender(), ssrc=ssrc))
                 ssrc += 1
             self.pcms.append(row)
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.commands = 0
         self.blocks_done = 0
+        self._last_diags = [None] * len(self.pcms)
+
+    def _sender(self):
+        def send(datagram: bytes) -> None:
+            if self.out_sock is not None:
+                try:
+                    self.out_sock.send(datagram)
+                except OSError:
+                    pass
+        return send
 
     def handle_command(self, data: bytes) -> None:
         """TLV command ingest (radio_status.c:217-318) for the mixed-mode
         bank: OUTPUT_SSRC addresses one channel across all groups."""
-        if not data or data[0] != 1:
+        parsed = parse_command(data)
+        if parsed is None:
             return
         self.commands += 1
-        ssrc = None
-        freq = None
-        filt: dict = {}
-        for t, v in st.decode_packet(data[1:]):
-            if t == StatusType.OUTPUT_SSRC:
-                ssrc = int(st.decode_int(v))
-            elif t == StatusType.RADIO_FREQUENCY:
-                freq = st.decode_double(v)
-            elif t == StatusType.LOW_EDGE:
-                filt["low"] = st.decode_float(v)
-            elif t == StatusType.HIGH_EDGE:
-                filt["high"] = st.decode_float(v)
-            elif t == StatusType.KAISER_BETA:
-                filt["kaiser_beta"] = st.decode_float(v)
+        ssrc, freq, filt = parsed
         gi = self.ssrc_map.get(ssrc) if ssrc is not None else None
         if ssrc is not None and gi is None:
             return                       # someone else's command: drop whole
@@ -451,24 +462,43 @@ class MultiBankDaemon:
         st.encode_float(pkt, StatusType.HIGH_EDGE, cfg.mode.high)
         st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(cfg.samprate))
         st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        diag = self._last_diags[g]
+        if diag is not None:
+            snr = diag.get("snr")
+            if snr is not None:
+                v = float(np.asarray(snr)[i])
+                if np.isfinite(v):
+                    st.encode_float(pkt, StatusType.DEMOD_SNR, v)
+            bb = diag.get("bb_power")
+            if bb is not None:
+                st.encode_float(pkt, StatusType.BASEBAND_POWER,
+                                float(np.asarray(bb)[i]))
         st.encode_eol(pkt)
         return bytes(pkt)
 
     def poll_commands(self) -> None:
-        if self.cmd_sock is None:
-            return
-        while True:
-            ready, _, _ = select.select([self.cmd_sock], [], [], 0)
-            if not ready:
-                return
-            try:
-                self.handle_command(self.cmd_sock.recv(9000))
-            except OSError:
-                return
+        poll_commands(self.cmd_sock, self.handle_command)
 
     def process_block(self, block) -> None:
+        """Double-buffered like BankDaemon.process_block: block n+1 is
+        dispatched before block n's audio is fetched, so host
+        packetisation overlaps device compute (the fetch is the ~50 ms
+        tunnel round trip)."""
         outs = self.mb.process(block)
-        for (audio, diag), row in zip(outs, self.pcms):
+        pending = getattr(self, "_pending", None)
+        self._pending = outs
+        if pending is not None:
+            self._emit(pending)
+        self.blocks_done += 1
+
+    def flush(self) -> None:
+        pending = getattr(self, "_pending", None)
+        if pending is not None:
+            self._emit(pending)
+            self._pending = None
+
+    def _emit(self, outs) -> None:
+        for g, ((audio, diag), row) in enumerate(zip(outs, self.pcms)):
             a = np.asarray(audio)[: len(row)]   # drop mesh-padding rows
             for ch, out in enumerate(row):
                 if a.ndim == 3:
@@ -478,9 +508,10 @@ class MultiBankDaemon:
             if self.raw is not None:
                 self.raw.write(np.clip(a * 32767, -32768, 32767)
                                .astype("<i2").tobytes())
-        self.blocks_done += 1
+            self._last_diags[g] = diag
 
     def close(self) -> None:
+        self.flush()
         if self.raw:
             self.raw.close()
 

@@ -637,6 +637,49 @@ def bank_tune(
     )
 
 
+def swap_filter_response(
+    cfg: BankConfig,
+    state: BankState,
+    low: float | None = None,
+    high: float | None = None,
+    kaiser_beta: float | None = None,
+) -> tuple[BankConfig, BankState]:
+    """Hot-swap a bank's shared frequency response (set_filter,
+    filter.c:500-546): edges in Hz at the decimated rate.  The response is
+    a STATE leaf, so every jitted step variant picks it up on the next
+    block with NO recompile (the reference's response-swap mutex,
+    filter.c:537-543, as a functional update).  Works on the packed (real)
+    state form and re-applies any sharding the resp leaf carried.  Shared
+    by ChannelBank.set_filter and MultiBank.set_filter."""
+    from dataclasses import replace as dc_replace
+
+    from ..ops.packing import c2r_np
+
+    mode = cfg.mode
+    low = mode.low if low is None else low
+    high = mode.high if high is None else high
+    beta = cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
+    out_type = (
+        FilterType.CROSS_CONJ
+        if (mode.demod == "LINEAR" and mode.isb)
+        else FilterType.COMPLEX
+    )
+    slave = SlaveSpec(cfg.master, cfg.decimate, out_type)
+    dsr = cfg.dsamprate
+    resp = set_filter_response(slave, low / dsr, high / dsr, beta)
+    cfg = cfg._replace(
+        mode=dc_replace(mode, low=low, high=high),
+        response=resp,
+        kaiser_beta=beta,
+    )
+    leaf = jnp.asarray(c2r_np(resp))
+    old = state.resp
+    sh = getattr(old, "sharding", None)
+    if sh is not None and hasattr(old, "devices"):
+        leaf = jax.device_put(leaf, sh)
+    return cfg, state._replace(resp=leaf)
+
+
 class ChannelBank:
     """Host wrapper: config + state + jitted step + per-channel retune.
 
@@ -809,38 +852,12 @@ class ChannelBank:
         high: float | None = None,
         kaiser_beta: float | None = None,
     ) -> None:
-        """Hot-swap the bank's shared frequency response (set_filter,
-        filter.c:500-546): edges in Hz at the decimated rate.  The response
-        is a state leaf, so every jitted step variant picks it up on the
-        next block with NO recompile (the reference's response-swap mutex,
-        filter.c:537-543, as a functional update)."""
-        from dataclasses import replace as dc_replace
-
-        from ..ops.packing import c2r_np
-
-        mode = self.cfg.mode
-        low = mode.low if low is None else low
-        high = mode.high if high is None else high
-        beta = self.cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
-        out_type = (
-            FilterType.CROSS_CONJ
-            if (mode.demod == "LINEAR" and mode.isb)
-            else FilterType.COMPLEX
+        """Hot-swap the bank's shared frequency response with no recompile
+        (swap_filter_response)."""
+        self.cfg, self.state = swap_filter_response(
+            self.cfg, self.state, low=low, high=high,
+            kaiser_beta=kaiser_beta,
         )
-        slave = SlaveSpec(self.cfg.master, self.cfg.decimate, out_type)
-        dsr = self.cfg.dsamprate
-        resp = set_filter_response(slave, low / dsr, high / dsr, beta)
-        self.cfg = self.cfg._replace(
-            mode=dc_replace(mode, low=low, high=high),
-            response=resp,
-            kaiser_beta=beta,
-        )
-        leaf = jnp.asarray(c2r_np(resp))
-        old = self.state.resp
-        sh = getattr(old, "sharding", None)
-        if sh is not None and hasattr(old, "devices"):
-            leaf = jax.device_put(leaf, sh)
-        self.state = self.state._replace(resp=leaf)
 
 
 class MultiBank:
@@ -937,6 +954,13 @@ class MultiBank:
             ]
         else:
             self._step = jax.jit(step)
+        # Warm the retune path per group: a no-op self-tune compiles the
+        # eager .at[] update graphs now (remote compile is seconds each; a
+        # LIVE retune must stay a ~ms dispatch — same rationale as
+        # ChannelBank.__init__; shapes differ per group, so each group
+        # needs its own warm-up)
+        for g, freqs in enumerate(self.group_freqs):
+            self.tune(g, 0, freqs[0])
 
     def process(self, iq_block) -> list:
         """Returns [(audio, diag), ...] per group."""
@@ -966,38 +990,13 @@ class MultiBank:
         high: float | None = None,
         kaiser_beta: float | None = None,
     ) -> None:
-        """Hot-swap ONE group's shared frequency response (set_filter,
-        filter.c:500-546) with no recompile — the other groups' responses
-        are untouched (each group is its own slave-filter family)."""
-        from dataclasses import replace as dc_replace
-
-        from ..ops.packing import c2r_np
-
-        cfg = self.cfgs[group]
-        mode = cfg.mode
-        low = mode.low if low is None else low
-        high = mode.high if high is None else high
-        beta = cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
-        out_type = (
-            FilterType.CROSS_CONJ
-            if (mode.demod == "LINEAR" and mode.isb)
-            else FilterType.COMPLEX
+        """Hot-swap ONE group's shared frequency response with no
+        recompile — the other groups' responses are untouched (each group
+        is its own slave-filter family, swap_filter_response)."""
+        self.cfgs[group], self.states[group] = swap_filter_response(
+            self.cfgs[group], self.states[group], low=low, high=high,
+            kaiser_beta=kaiser_beta,
         )
-        slave = SlaveSpec(cfg.master, cfg.decimate, out_type)
-        resp = set_filter_response(
-            slave, low / cfg.dsamprate, high / cfg.dsamprate, beta
-        )
-        self.cfgs[group] = cfg._replace(
-            mode=dc_replace(mode, low=low, high=high),
-            response=resp,
-            kaiser_beta=beta,
-        )
-        leaf = jnp.asarray(c2r_np(resp))
-        old = self.states[group].resp
-        sh = getattr(old, "sharding", None)
-        if sh is not None and hasattr(old, "devices"):
-            leaf = jax.device_put(leaf, sh)
-        self.states[group] = self.states[group]._replace(resp=leaf)
 
 
 def make_bank(
