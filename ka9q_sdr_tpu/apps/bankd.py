@@ -479,6 +479,42 @@ class MultiBankDaemon:
     def poll_commands(self) -> None:
         poll_commands(self.cmd_sock, self.handle_command)
 
+    def emit_status(self) -> None:
+        """Bank-level status (radio_status.c send_radio_status shape):
+        one packet for the whole mixed-mode bank; per-channel detail
+        rides the round-robin channel packets (emit_channel_status)."""
+        if self.status_sock is None:
+            return
+        cfg0 = self.mb.cfgs[0]
+        pkt = bytearray([0])
+        st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
+        st.encode_int(pkt, StatusType.INPUT_SAMPRATE, int(cfg0.samprate))
+        st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
+        st.encode_int(pkt, StatusType.OUTPUT_CHANNELS, len(self.ssrc_map))
+        st.encode_int(pkt, StatusType.FILTER_BLOCKSIZE, cfg0.master.L)
+        st.encode_int(pkt, StatusType.FILTER_FIR_LENGTH, cfg0.master.M)
+        st.encode_eol(pkt)
+        try:
+            self.status_sock.send(bytes(pkt))
+        except OSError:
+            pass
+
+    def emit_channel_status(self) -> None:
+        """Round-robin per-channel status over all groups, keyed by
+        OUTPUT_SSRC — same observability as the single-mode daemon."""
+        if self.status_sock is None or not self.ssrc_map:
+            return
+        ssrcs = sorted(self.ssrc_map)
+        start = getattr(self, "_ch_rr", 0)
+        n = min(4, len(ssrcs))
+        for i in range(n):
+            ssrc = ssrcs[(start + i) % len(ssrcs)]
+            try:
+                self.status_sock.send(self._channel_status_pkt(ssrc))
+            except OSError:
+                pass
+        self._ch_rr = (start + n) % len(ssrcs)
+
     def process_block(self, block) -> None:
         """Double-buffered like BankDaemon.process_block: block n+1 is
         dispatched before block n's audio is fetched, so host
@@ -509,6 +545,7 @@ class MultiBankDaemon:
                 self.raw.write(np.clip(a * 32767, -32768, 32767)
                                .astype("<i2").tobytes())
             self._last_diags[g] = diag
+        self.emit_channel_status()
 
     def close(self) -> None:
         self.flush()
@@ -520,17 +557,55 @@ def run_multibank(args, groups) -> int:
     """Mixed-mode path entry: one shared wideband FFT, a demod group per
     mode, full TLV command plane (MultiBankDaemon).  --mesh shards every
     group's channel axis (groups padded per-group; padded rows never
-    reach the wire)."""
+    reach the wire).  Input: --iq-file recording or -I wideband RTP
+    multicast (Python assembler path — reorder/gap-fill/scale on the
+    host, dense blocks to the device; the native int16 fast path stays
+    with the single-mode flagship daemon)."""
     d = MultiBankDaemon(args, groups)
-    if not args.iq_file:
-        print("multibank currently supports --iq-file input", file=sys.stderr)
-        return 1
     L = d.mb.cfgs[0].master.L
-    for block in IQReader(args.iq_file).blocks(L):
-        d.poll_commands()
-        d.process_block(block)
-        if args.blocks and d.blocks_done >= args.blocks:
-            break
+    last_status = 0.0
+    if args.iq_file:
+        for block in IQReader(args.iq_file).blocks(L):
+            d.poll_commands()
+            d.process_block(block)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                d.emit_status()
+                last_status = now
+            if args.blocks and d.blocks_done >= args.blocks:
+                break
+    elif args.input:
+        from ..io.assembler import BlockAssembler
+
+        # compile before joining the group so the first live packets are
+        # not dropped while jit runs (mirrors the single-mode warm-up);
+        # the warm-up block's (zero) audio is discarded, not emitted
+        d.process_block(np.zeros(L, np.complex64))
+        d._pending = None
+        d.blocks_done = 0
+        sock = setup_mcast(args.input, output=False)
+        # bounded wait: commands must be handled even when the input
+        # stream stalls (mirrors the single-mode python path)
+        sock.settimeout(1.0)
+        asm = BlockAssembler(L)
+        while True:
+            d.poll_commands()
+            try:
+                asm.push(sock.recv(65536))
+            except OSError:   # timeout: fall through to status emit
+                pass
+            else:
+                for block in asm.blocks():
+                    d.process_block(block)
+            now = time.monotonic()
+            if now - last_status >= 0.1:
+                d.emit_status()
+                last_status = now
+            if args.blocks and d.blocks_done >= args.blocks:
+                break
+    else:
+        print("need --iq-file or -I", file=sys.stderr)
+        return 1
     d.close()
     return 0
 

@@ -422,3 +422,97 @@ class TestMultiBankCommandPlane:
         tail = ra[8:, 4].ravel().astype(np.float64)           # USB ch 1
         assert np.sqrt((tail**2).mean()) > 20 * max(
             np.sqrt((rb[8:, 4].ravel().astype(np.float64)**2).mean()), 1.0)
+
+
+def test_multibank_network_ingest_and_status(tmp_path):
+    """Mixed-mode daemon over REAL wideband RTP multicast (-I): the
+    Python assembler path reorders/scales packets into dense blocks, the
+    AM and USB groups demodulate their carriers, and bank + per-channel
+    status ride the status group — operational parity with the
+    single-mode daemon's network mode."""
+    import threading
+
+    from ka9q_sdr_tpu.apps.bankd import run_multibank, build_parser
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+    IN_GROUP = "239.88.7.3:5204"
+    OUT_GROUP = "239.88.7.4:5204"
+    n_blocks = 12
+    argv = ["-I", IN_GROUP, "-R", OUT_GROUP, "-r", str(SAMPRATE),
+            "--L", str(L), "--M", str(M), "--no-native",
+            "--pcm-raw", str(tmp_path / "mb_net.pcm"),
+            "--blocks", str(n_blocks)]
+    args = build_parser().parse_args(argv)
+    f_am, f_usb = 100e3, -200e3
+    groups = [("AM", [f_am]), ("USB", [f_usb])]
+
+    rc = {}
+
+    def daemon():
+        rc["rc"] = run_multibank(args, groups)
+
+    th = threading.Thread(target=daemon, daemon=True)
+    th.start()
+
+    # status listener joins before the daemon emits
+    stat_rx = setup_mcast(OUT_GROUP, output=False, offset=2)
+    stat_rx.settimeout(0.2)
+
+    # paced sender: 240-sample packets, AM carrier + USB tone, keeps
+    # streaming until the daemon has its n_blocks (it joins the group
+    # only after the warm-up compile, so early packets just vanish)
+    tx = setup_mcast(IN_GROUP, output=True)
+    t_sig = lambda s0, n: (s0 + np.arange(n)) / SAMPRATE
+    statuses = []
+    seq = 0
+    deadline = time.time() + 120.0
+    while th.is_alive() and time.time() < deadline:
+        tt = t_sig(seq * 240, 240)
+        sig = _am(f_am, tt) + 0.2 * np.exp(2j * np.pi * (f_usb + 1e3) * tt)
+        pay = np.empty(480, np.int16)
+        pay[0::2] = np.clip(sig.real * 32767, -32768, 32767)
+        pay[1::2] = np.clip(sig.imag * 32767, -32768, 32767)
+        hdr = RTPHeader(type=IQ_PT, seq=seq & 0xFFFF, timestamp=seq * 240,
+                        ssrc=7)
+        tx.send(hdr.to_bytes() + pay.tobytes())
+        seq += 1
+        if seq % 16 == 0:          # one block's worth
+            time.sleep(0.01)
+        try:
+            statuses.append(stat_rx.recv(9000))
+        except OSError:
+            pass
+        th.join(timeout=0.0)
+    th.join(timeout=10.0)
+    assert not th.is_alive(), "daemon did not finish"
+    assert rc.get("rc") == 0
+
+    l_dec = L // 32
+    r = np.frombuffer(open(tmp_path / "mb_net.pcm", "rb").read(), "<i2")
+    r = r.reshape(-1, 2, l_dec)     # per block: AM ch, then USB ch
+    assert r.shape[0] == n_blocks
+    # steady-state tail: AM channel carries 400 Hz, USB carries 1 kHz
+    half = n_blocks // 2
+    am = r[half:, 0].ravel().astype(np.float64)
+    usb = r[half:, 1].ravel().astype(np.float64)
+    am -= am.mean()
+    for x, f0, name in ((am, 400.0, "AM"), (usb, 1000.0, "USB")):
+        assert np.sqrt((x**2).mean()) > 200, f"{name} silent"
+        X = np.abs(np.fft.rfft(x)) ** 2
+        k = int(round(f0 * len(x) / 48000))
+        frac = X[max(0, k - 2):k + 3].sum() / X.sum()
+        assert frac > 0.5, f"{name} tone at {f0} Hz missing ({frac:.2f})"
+    # status stream: a bank packet (OUTPUT_CHANNELS=2) and at least one
+    # per-channel packet (OUTPUT_SSRC) arrived
+    got_bank = got_chan = False
+    for s in statuses:
+        if not s or s[0] != 0:
+            continue
+        items = dict(st.decode_packet(s[1:]))
+        if StatusType.OUTPUT_CHANNELS in items and \
+                st.decode_int(items[StatusType.OUTPUT_CHANNELS]) == 2:
+            got_bank = True
+        if StatusType.OUTPUT_SSRC in items:
+            got_chan = True
+    assert got_bank and got_chan, (got_bank, got_chan, len(statuses))
