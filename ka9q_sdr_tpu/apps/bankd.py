@@ -339,8 +339,12 @@ class BankDaemon:
         # filter.c:22-35) when unaddressed or validly addressed; a command
         # carrying an out-of-range SSRC is someone else's — drop it whole.
         if filt and (ssrc is None or ch is not None):
-            self.bank.set_filter(**filt)
-            self.cfg = self.bank.cfg   # edges changed; status reports them
+            try:
+                self.bank.set_filter(**filt)
+            except ValueError:
+                pass   # nonsense edges (hostile/corrupt command): drop
+            else:
+                self.cfg = self.bank.cfg   # status reports the new edges
         if ch is not None and self.status_sock is not None:
             try:
                 self.status_sock.send(self._channel_status_pkt(ch))
@@ -442,7 +446,10 @@ class MultiBankDaemon:
         if freq is not None and gi is not None:
             self.mb.tune(gi[0], gi[1], freq)
         if filt and gi is not None:      # group response needs an address
-            self.mb.set_filter(gi[0], **filt)
+            try:
+                self.mb.set_filter(gi[0], **filt)
+            except ValueError:
+                pass   # nonsense edges (hostile/corrupt command): drop
         if gi is not None and self.status_sock is not None:
             try:
                 self.status_sock.send(self._channel_status_pkt(ssrc))

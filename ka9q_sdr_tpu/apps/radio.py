@@ -115,7 +115,10 @@ class RadioDaemon:
             except OSError:
                 pass
         if self.pcm_raw is not None:
-            hdr, off = RTPHeader.from_bytes(datagram)
+            try:
+                hdr, off = RTPHeader.from_bytes(datagram)
+            except ValueError:
+                return                   # malformed datagram: drop
             self.pcm_raw.write(datagram[off:])
 
     def _send_lo1_command(self, lo1: float) -> None:
@@ -310,9 +313,15 @@ class RadioDaemon:
             if lo1 is not None:
                 self._send_lo1_command(lo1)
         if filt:
-            self.rx.set_filter(**filt)
+            try:
+                self.rx.set_filter(**filt)
+            except ValueError:
+                pass   # nonsense edges (hostile/corrupt command): drop
         if opts:
-            self.rx.set_options(**opts)
+            try:
+                self.rx.set_options(**opts)
+            except (ValueError, TypeError):
+                pass
 
     def save_state(self) -> None:
         """Write the ~/.radiostate file (savestate, main.c:368-401):

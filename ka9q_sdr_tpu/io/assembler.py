@@ -38,6 +38,7 @@ class BlockAssembler:
     skip_legacy_status: bool = True
     rtp_state: RTPState = field(default_factory=RTPState)
     samples: int = 0        # total samples accepted (radio.c input.samples)
+    malformed: int = 0      # datagrams dropped as unparseable RTP
 
     def __post_init__(self):
         self._buf = np.zeros(self.block_len, np.complex64)
@@ -57,8 +58,17 @@ class BlockAssembler:
                 self._fill = 0
 
     def push(self, packet: bytes) -> None:
-        """One UDP datagram: RTP header + (legacy status?) + I/Q payload."""
-        hdr, off = RTPHeader.from_bytes(packet)
+        """One UDP datagram: RTP header + (legacy status?) + I/Q payload.
+
+        Malformed datagrams are counted and dropped, never raised — a
+        live daemon's ingest loop feeds recv() output here directly and
+        must survive anything on the wire (the reference's ntoh_rtp
+        returns a failure its caller drops, multicast.c:242-277)."""
+        try:
+            hdr, off = RTPHeader.from_bytes(packet)
+        except ValueError:
+            self.malformed += 1
+            return
         payload = packet[off:]
         if hdr.type not in (IQ_PT, IQ_PT8):
             return

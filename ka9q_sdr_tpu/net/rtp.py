@@ -87,6 +87,8 @@ class RTPHeader:
         )
         off = 12
         cc = b0 & 0xF
+        if len(data) < off + 4 * cc:
+            raise ValueError("RTP packet truncated in CSRC list")
         csrc = []
         for _ in range(cc):
             csrc.append(struct.unpack(">I", data[off : off + 4])[0])
@@ -94,6 +96,8 @@ class RTPHeader:
         h.csrc = tuple(csrc)
         if h.extension:
             off += 2  # skip type
+            if len(data) < off + 2:
+                raise ValueError("RTP packet truncated in extension")
             (ext_len,) = struct.unpack(">H", data[off : off + 2])
             off += 2 + 4 + ext_len  # 4 + len per multicast.c:272
         return h, off

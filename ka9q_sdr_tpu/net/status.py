@@ -138,18 +138,22 @@ def encode_eol(buf: bytearray) -> int:
 
 
 def decode_int(value: bytes) -> int:
-    """decode_int (status.c:124-132)."""
+    """decode_int (status.c:124-132).  Values longer than 8 bytes keep
+    the low 64 bits, as the C's int64 shift-accumulate naturally does —
+    an oversized value from a hostile/buggy sender must not raise."""
     x = 0
     for b in value:
         x = (x << 8) | b
-    return x
+    return x & 0xFFFFFFFFFFFFFFFF
 
 
 def decode_float(value: bytes) -> float:
     """decode_float (status.c:134-140); an 8-byte value is a double."""
     if len(value) == 8:
         return decode_double(value)
-    (f,) = struct.unpack(">f", struct.pack(">I", decode_int(value)))
+    (f,) = struct.unpack(
+        ">f", struct.pack(">I", decode_int(value) & 0xFFFFFFFF)
+    )
     return f
 
 
@@ -162,15 +166,26 @@ def decode_double(value: bytes) -> float:
 
 def decode_packet(data: bytes):
     """Iterate (type, value_bytes) pairs of a TLV packet *body* (after the
-    leading command/response byte), stopping at EOL."""
+    leading command/response byte), stopping at EOL.
+
+    Robust against malformed/truncated packets (a network daemon must
+    survive any datagram): a type byte with no length, or a length
+    running past the end, terminates iteration instead of raising — the
+    same effect as the reference's pointer-bounds checks
+    (status.c:112-122 decode loop)."""
     i = 0
-    while i < len(data):
+    n = len(data)
+    while i < n:
         t = data[i]
         i += 1
         if t == StatusType.EOL:
             return
+        if i >= n:
+            return                       # truncated: no length byte
         length = data[i]
         i += 1
+        if i + length > n:
+            return                       # truncated value
         yield t, bytes(data[i : i + length])
         i += length
 

@@ -516,3 +516,32 @@ def test_multibank_network_ingest_and_status(tmp_path):
         if StatusType.OUTPUT_SSRC in items:
             got_chan = True
     assert got_bank and got_chan, (got_bank, got_chan, len(statuses))
+
+
+def test_hostile_filter_edges_do_not_kill_the_daemon(tmp_path):
+    """Fuzz-found crash: a command whose LOW/HIGH_EDGE floats are nonsense
+    (random bytes decoded as float) used to raise through set_filter ->
+    design_bandpass and kill the daemon.  Must drop the command and keep
+    the previous response."""
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channels", str(N_CH)]
+    args = build_parser().parse_args(argv)
+    d = BankDaemon(args, _freqs())
+    low0, high0 = d.cfg.mode.low, d.cfg.mode.high
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_float(pkt, StatusType.LOW_EDGE, -8.5e12)   # way past Nyquist
+    st.encode_float(pkt, StatusType.HIGH_EDGE, 3.2e14)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))                         # must not raise
+    assert d.cfg.mode.low == low0 and d.cfg.mode.high == high0
+    # and a sane command afterwards still works
+    pkt2 = bytearray([1])
+    st.encode_int(pkt2, StatusType.OUTPUT_SSRC, 1)
+    st.encode_float(pkt2, StatusType.LOW_EDGE, -200.0)
+    st.encode_float(pkt2, StatusType.HIGH_EDGE, 200.0)
+    st.encode_eol(pkt2)
+    d.handle_command(bytes(pkt2))
+    assert d.cfg.mode.low == -200.0 and d.cfg.mode.high == 200.0

@@ -311,3 +311,107 @@ class TestBlockAssembler:
         asm.push(self._packet(5, 0, pay))
         assert asm.rtp_state.dupes == 1
         assert len(list(asm.blocks())) == 1
+
+
+class TestTLVRobustness:
+    """A network daemon must survive ANY datagram (the reference's decode
+    loop is pointer-bounds-checked, status.c:112-122; ours must match).
+    Found by fuzzing: truncated type-without-length packets used to raise
+    IndexError, and oversized int values used to overflow struct.pack."""
+
+    def test_truncated_packets_terminate_cleanly(self):
+        from ka9q_sdr_tpu.net import status as st
+
+        pkt = bytearray()
+        st.encode_int(pkt, st.StatusType.OUTPUT_SSRC, 5)
+        st.encode_double(pkt, st.StatusType.RADIO_FREQUENCY, 1.0e6)
+        st.encode_string(pkt, st.StatusType.RADIO_MODE, "USB")
+        st.encode_eol(pkt)
+        for cut in range(len(pkt)):
+            list(st.decode_packet(bytes(pkt[:cut])))   # must not raise
+
+    def test_random_garbage_decodes(self):
+        import random
+
+        from ka9q_sdr_tpu.net import status as st
+
+        rng = random.Random(42)
+        for _ in range(500):
+            n = rng.randrange(0, 64)
+            data = bytes(rng.randrange(256) for _ in range(n))
+            for t, v in st.decode_packet(data):
+                # every decoder must accept any value bytes
+                st.decode_int(v)
+                st.decode_float(v)
+                st.decode_double(v)
+
+    def test_oversized_values(self):
+        from ka9q_sdr_tpu.net import status as st
+
+        v = bytes(range(1, 17))       # 16-byte value
+        assert st.decode_int(v) == int.from_bytes(v, "big") & (2**64 - 1)
+        st.decode_float(v)            # low 32 bits, no raise
+        st.decode_double(v)           # low 64 bits, no raise
+
+    def test_daemon_command_handlers_survive_fuzz(self, tmp_path):
+        """parse_command + the bank daemons' handle_command on garbage:
+        no exception, no state change from foreign/broken packets."""
+        import random
+
+        from ka9q_sdr_tpu.apps.bankd import parse_command
+        from ka9q_sdr_tpu.net.status import StatusType
+        from ka9q_sdr_tpu.net import status as st
+
+        rng = random.Random(7)
+        for _ in range(500):
+            n = rng.randrange(0, 48)
+            data = bytes([1]) + bytes(rng.randrange(256) for _ in range(n))
+            parse_command(data)       # must not raise
+        # a valid header with a truncated double value
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 3)
+        pkt += bytes([int(StatusType.RADIO_FREQUENCY), 8, 0x41])  # len 8, 1 byte
+        parse_command(bytes(pkt))     # must not raise
+
+    def test_compactor_survives_fuzz(self):
+        import random
+
+        from ka9q_sdr_tpu.net.status import StatusCompactor
+
+        rng = random.Random(9)
+        c = StatusCompactor()
+        for _ in range(200):
+            n = rng.randrange(0, 48)
+            c.compact(bytes([0]) + bytes(rng.randrange(256) for _ in range(n)))
+
+    def test_assembler_survives_garbage_datagrams(self):
+        """The daemons' network loops feed recv() straight into
+        BlockAssembler.push: malformed RTP must be counted and dropped,
+        never raised (one bad datagram used to kill the daemon)."""
+        import random
+
+        from ka9q_sdr_tpu.io.assembler import BlockAssembler
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+        asm = BlockAssembler(960)
+        rng = random.Random(3)
+        for _ in range(300):
+            n = rng.randrange(0, 40)
+            asm.push(bytes(rng.randrange(256) for _ in range(n)))
+        # truncated CSRC list (cc=15, no CSRC words)
+        asm.push(bytes([0x8F, IQ_PT, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1]))
+        # extension flag set, no extension header
+        asm.push(bytes([0x90, IQ_PT, 0, 2, 0, 0, 0, 0, 0, 0, 0, 1]))
+        assert asm.malformed > 0
+        # a good packet still lands after all the garbage
+        pay = np.full(480, 1000, np.int16).astype("<i2").tobytes()
+        asm.push(RTPHeader(type=IQ_PT, seq=0, timestamp=0, ssrc=1)
+                 .to_bytes() + b"\x00" * 24 + pay)
+        asm.push(RTPHeader(type=IQ_PT, seq=1, timestamp=240, ssrc=1)
+                 .to_bytes() + b"\x00" * 24 + pay)
+        asm.push(RTPHeader(type=IQ_PT, seq=2, timestamp=480, ssrc=1)
+                 .to_bytes() + b"\x00" * 24 + pay)
+        asm.push(RTPHeader(type=IQ_PT, seq=3, timestamp=720, ssrc=1)
+                 .to_bytes() + b"\x00" * 24 + pay)
+        blocks = list(asm.blocks())
+        assert len(blocks) == 1 and np.all(np.asarray(blocks[0]) != 0)
