@@ -89,6 +89,11 @@ class TuningState:
     def next_item(self):
         self.item = (self.item + 1) % len(ITEMS)
 
+    def prev_item(self):
+        """Shift-TAB (README 'User Interface': Shift-TAB moves to the
+        previous field)."""
+        self.item = (self.item - 1) % len(ITEMS)
+
     def cursor_left(self):
         self.step_log10 = min(self.step_log10 + 1, 9)
 
@@ -357,6 +362,8 @@ def run_ui(stdscr, args):
             tuning.cursor_right()
         elif ch == ord("\t"):
             tuning.next_item()
+        elif ch == curses.KEY_BTAB:     # Shift-TAB: previous field
+            tuning.prev_item()
         elif ch == curses.KEY_MOUSE:
             # click selects the item row; wheel adjusts (display.c:988-1060)
             try:

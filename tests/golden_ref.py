@@ -104,7 +104,8 @@ class GoldenFM:
     de-emphasis audio slave."""
 
     def __init__(self, dsamprate, low, high, L_dec, M_dec,
-                 headroom_db=-15.0, beta=3.0):
+                 headroom_db=-15.0, beta=3.0, flat=False):
+        self.flat = flat
         self.dsamprate = dsamprate
         headroom = 10 ** (headroom_db / 20.0)
         self.gain = F32(headroom * (1 / np.pi) * dsamprate / abs(low - high))
@@ -151,6 +152,10 @@ class GoldenFM:
             self.state = np.complex64(0.0)
             self.lastaudio = F32(0.0)
         fd = self.audio_master.execute(samples)
+        if self.flat:
+            # FM flat: no audio filter, audio is already in samples[]
+            # (fm.c:165-167); the master still runs (feeds pltask)
+            return samples.astype(F32)
         audio = self.audio_slave.execute(fd) * self.gain
         return audio.astype(F32)
 
@@ -205,7 +210,8 @@ class GoldenReceiver:
         elif md.demod == "FM":
             fm_cls = GoldenFMPL if enable_pl else GoldenFM
             self.demod = fm_cls(dsr, md.low, md.high, L // decimate,
-                                (M - 1) // decimate + 1)
+                                (M - 1) // decimate + 1,
+                                flat=getattr(md, "flat", False))
         elif md.pll:
             self.demod = GoldenLinearPLL(
                 dsr, L // decimate, square=md.square,

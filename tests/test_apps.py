@@ -649,3 +649,16 @@ class TestBankGeometry:
                 assert N % decim == 0
                 n_dec = N // decim
                 assert n_dec & (n_dec - 1) == 0     # power of two
+
+
+def test_tuning_prev_item_cycles_backwards():
+    """Shift-TAB moves to the previous field (README 'User Interface');
+    prev_item is next_item's inverse and wraps."""
+    from ka9q_sdr_tpu.apps.display import TuningState, ITEMS
+
+    t = TuningState()
+    first = t.item
+    t.prev_item()
+    assert t.item == (first - 1) % len(ITEMS)
+    t.next_item()
+    assert t.item == first

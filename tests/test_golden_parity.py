@@ -378,3 +378,52 @@ class TestGoldenPLTone:
         np.testing.assert_allclose(ours[m], theirs[m], atol=1e-3)
         # and the measured tone is the true one within a 0.0916 Hz bin
         assert abs(ours[m][-1] - pl_hz) < 0.1
+
+
+class TestRemainingModeVariants:
+    """Parity for the last mode-table variants without their own oracle
+    test: LSB (lower sideband), AME (synchronous AM: PLL + one sideband,
+    modes.txt AME row) and FMF (flat FM — no audio filter, fm.c:165-167)."""
+
+    def test_lsb_pcm_parity(self):
+        a, g = run_pair(
+            "LSB", 30000.0,
+            lambda tt: 0.2 * np.exp(-2j * np.pi * 0.0 * tt)
+            * np.exp(2j * np.pi * (30000 - 1000) * tt)
+            + 0.05 * np.exp(2j * np.pi * (30000 - 2500) * tt),
+        )
+        err = rms_dbfs(a - g)
+        print(f"LSB: error {err:.1f} dBFS")
+        assert err < -80.0
+
+    def test_ame_pcm_parity(self):
+        """AME: PLL locks the carrier, audio from the upper sideband."""
+        a, g = run_pair(
+            "AME", 20000.0,
+            lambda tt: 0.3 * (1 + 0.5 * np.sin(2 * np.pi * 700 * tt))
+            * np.exp(2j * np.pi * 20000 * tt),
+            nblocks=30, settle=12,     # PLL acquisition first
+        )
+        err = rms_dbfs(a - g)
+        sig = rms_dbfs(g)
+        print(f"AME: signal {sig:.1f} dBFS, error {err:.1f} dBFS")
+        assert sig > -40.0             # the sideband audio is there
+        assert err < -80.0
+
+    def test_fmf_flat_parity(self):
+        phase = {"p": 0.0}
+
+        def gen(tt):
+            inst = 3000 * np.cos(2 * np.pi * 800 * tt)
+            ph = np.cumsum(2 * np.pi * inst / FS) + phase["p"]
+            phase["p"] = ph[-1]
+            return 0.5 * np.exp(1j * (2 * np.pi * 20000 * tt + ph))
+
+        a, g = run_pair("FMF", 20000.0, gen)
+        err = rms_dbfs(a - g)
+        print(f"FMF: error {err:.1f} dBFS")
+        assert err < -80.0
+        # flat really is flat: discriminator-scale output, not the
+        # de-emphasised audio chain (they differ by the 300/f shaping)
+        a2, g2 = run_pair("FM", 20000.0, gen)
+        assert rms_dbfs(g - g2[: len(g)]) > -40.0
