@@ -422,6 +422,8 @@ class MultiBankDaemon:
         self.commands = 0
         self.blocks_done = 0
         self._last_diags = [None] * len(self.pcms)
+        self._ssrcs = sorted(self.ssrc_map)   # fixed after build
+        self._pending = None
 
     def _sender(self):
         def send(datagram: bytes) -> None:
@@ -509,9 +511,9 @@ class MultiBankDaemon:
     def emit_channel_status(self) -> None:
         """Round-robin per-channel status over all groups, keyed by
         OUTPUT_SSRC — same observability as the single-mode daemon."""
-        if self.status_sock is None or not self.ssrc_map:
+        if self.status_sock is None or not self._ssrcs:
             return
-        ssrcs = sorted(self.ssrc_map)
+        ssrcs = self._ssrcs
         start = getattr(self, "_ch_rr", 0)
         n = min(4, len(ssrcs))
         for i in range(n):
@@ -528,16 +530,18 @@ class MultiBankDaemon:
         packetisation overlaps device compute (the fetch is the ~50 ms
         tunnel round trip)."""
         outs = self.mb.process(block)
-        pending = getattr(self, "_pending", None)
-        self._pending = outs
+        pending, self._pending = self._pending, outs
         if pending is not None:
             self._emit(pending)
         self.blocks_done += 1
 
+    def discard_pending(self) -> None:
+        """Drop the in-flight block unemitted (warm-up path)."""
+        self._pending = None
+
     def flush(self) -> None:
-        pending = getattr(self, "_pending", None)
-        if pending is not None:
-            self._emit(pending)
+        if self._pending is not None:
+            self._emit(self._pending)
             self._pending = None
 
     def _emit(self, outs) -> None:
@@ -588,7 +592,7 @@ def run_multibank(args, groups) -> int:
         # not dropped while jit runs (mirrors the single-mode warm-up);
         # the warm-up block's (zero) audio is discarded, not emitted
         d.process_block(np.zeros(L, np.complex64))
-        d._pending = None
+        d.discard_pending()
         d.blocks_done = 0
         sock = setup_mcast(args.input, output=False)
         # bounded wait: commands must be handled even when the input
