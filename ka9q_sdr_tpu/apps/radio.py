@@ -83,7 +83,10 @@ class RadioDaemon:
         else:
             self.status_recv = None
         self._last_rtcp = 0.0
-        ssrc = int(time.time()) & 0xFFFFFFFF  # audio.c:150-153
+        # -S overrides the time-derived SSRC (main.c:193-195; default is
+        # audio.c:150-153's wall-clock seed)
+        ssrc = (int(args.ssrc) & 0xFFFFFFFF) if getattr(args, "ssrc", 0) \
+            else int(time.time()) & 0xFFFFFFFF
         self.pcm = PCMOutput(send=self._send_pcm, ssrc=ssrc)
 
         self.ctl_sock = None
@@ -98,6 +101,9 @@ class RadioDaemon:
             lo1 = self.rx.set_freq(self.freq)
             if lo1 is not None:
                 self._send_lo1_command(lo1)
+        if getattr(args, "shift", 0.0):
+            # -s: post-detection shift offset at startup (main.c:175-177)
+            self.rx.set_shift(float(args.shift))
 
         self.doppler = None
         if getattr(args, "doppler", None):
@@ -534,6 +540,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-M", "--impulse-len", type=int, default=4353)
     p.add_argument("-k", "--kaiser-beta", type=float, default=3.0)
     p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("-s", "--shift", type=float, default=0.0,
+                   help="post-detection shift offset in Hz (main.c -s)")
+    p.add_argument("-S", "--ssrc", type=int, default=0,
+                   help="fixed output RTP SSRC (main.c -S; default: "
+                        "wall-clock seed, audio.c:150-153)")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="accepted for reference-script compatibility "
+                        "(no in-process display here; see apps.display)")
     p.add_argument("--blocks", type=int, default=0, help="stop after N blocks")
     p.add_argument("--state", help="load/save state file name")
     p.add_argument("--modes", help="modes.txt-format table to load "

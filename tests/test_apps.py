@@ -662,3 +662,19 @@ def test_tuning_prev_item_cycles_backwards():
     assert t.item == (first - 1) % len(ITEMS)
     t.next_item()
     assert t.item == first
+
+
+def test_reference_cli_flags_s_S_q(am_recording):
+    """main.c's -s (startup shift), -S (fixed output SSRC) and -q
+    (quiet, a no-op here) are accepted with the same letters, so
+    reference launch scripts port unchanged."""
+    from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+    args = build_parser().parse_args(
+        ["--iq-file", am_recording, "-f", "48k", "-m", "CWU",
+         "-s", "700", "-S", "12345", "-q"]
+    )
+    d = RadioDaemon(args)
+    assert d.pcm.ssrc == 12345
+    assert d.rx.cfg.mode.shift == 700.0
+    assert args.quiet is True
