@@ -103,7 +103,8 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--frequency", type=float, default=0.0)
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--fast", action="store_true", help="no real-time pacing")
-    p.add_argument("--loop", action="store_true")
+    p.add_argument("-l", "--loop", action="store_true",
+                   help="loop the recording (iqplay.c -l)")
     p.add_argument("--native", action="store_true",
                    help="use the C++ sender (required beyond ~2 Msps)")
     p.add_argument("--pkt-samples", type=int, default=BLOCKSIZE)

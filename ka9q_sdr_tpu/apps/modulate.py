@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     p.add_argument("-a", "--amplitude", type=float, default=-20.0, help="dBFS")
     p.add_argument("-s", "--sweep", type=float, default=0.0, help="Hz/s")
     p.add_argument("-r", "--samprate", type=int, default=192000)
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="accepted for reference compatibility")
     args = p.parse_args(argv)
 
     m = Modulator(

@@ -25,12 +25,17 @@ def main(argv=None) -> int:
                    help="force stereo output (duplicate mono)")
     p.add_argument("-1", "--mono", action="store_true",
                    help="force mono output (average stereo)")
+    p.add_argument("-s", "--ssrc", type=lambda v: int(v, 0), default=0,
+                   help="play only this SSRC (pcmcat.c -s; 0x prefix for "
+                        "hex); default: first SSRC wins")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="accepted for reference compatibility")
     p.add_argument("--packets", type=int, default=0, help="stop after N")
     args = p.parse_args(argv)
 
     sock = setup_mcast(args.group, output=False)
     state = RTPState()
-    ssrc = None
+    ssrc = args.ssrc or None
     out = sys.stdout.buffer
     n = 0
     while True:

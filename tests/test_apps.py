@@ -678,3 +678,52 @@ def test_reference_cli_flags_s_S_q(am_recording):
     assert d.pcm.ssrc == 12345
     assert d.rx.cfg.mode.shift == 700.0
     assert args.quiet is True
+
+
+def test_pcmcat_ssrc_selection(tmp_path):
+    """pcmcat -s plays only the requested SSRC (pcmcat.c -s) instead of
+    first-SSRC-wins."""
+    import threading
+    from ka9q_sdr_tpu.apps import pcmcat
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT
+    import io as _io
+    import sys as _sys
+
+    G = "239.88.7.9:5204"
+    out = _io.BytesIO()
+    out.buffer = out            # pcmcat writes to sys.stdout.buffer
+
+    class FakeStdout:
+        buffer = out
+
+    old = _sys.stdout
+    _sys.stdout = FakeStdout()
+    try:
+        res = {}
+
+        def run():
+            res["rc"] = pcmcat.main(["-s", "7", "--packets", "3", G])
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        tx = setup_mcast(G, output=True)
+        pay9 = np.full(240, 1111, ">i2").tobytes()
+        pay7 = np.full(240, 2222, ">i2").tobytes()
+        deadline = time.time() + 10.0
+        seq = 0
+        while th.is_alive() and time.time() < deadline:
+            # the wrong SSRC arrives FIRST every round: -s must skip it
+            tx.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
+                              ssrc=9).to_bytes() + pay9)
+            tx.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
+                              ssrc=7).to_bytes() + pay7)
+            seq += 1
+            time.sleep(0.02)
+        th.join(timeout=5.0)
+        assert not th.is_alive() and res.get("rc") == 0
+    finally:
+        _sys.stdout = old
+    got = np.frombuffer(out.getvalue(), np.int16)
+    assert len(got) == 3 * 240
+    assert np.all(got == 2222)      # only SSRC 7's payload
