@@ -119,15 +119,25 @@ def _attach_tui(mixer, stop, tty_path="/dev/tty"):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="monitor")
-    p.add_argument("groups", nargs="+", help="PCM/Opus multicast name:port")
+    p.add_argument("groups", nargs="*", help="PCM/Opus multicast name:port")
+    p.add_argument("-I", dest="groups_opt", action="append", default=[],
+                   help="add a multicast group (monitor.c -I; may repeat)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="accepted for reference compatibility")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="accepted for reference compatibility (no UI is "
+                        "already the default; --tui opts in)")
     p.add_argument("--seconds", type=float, default=0.0, help="stop after N s")
     p.add_argument("--chunk-ms", type=float, default=20.0)
     p.add_argument("--tui", action="store_true",
                    help="interactive session mixer (gain/pan/mute) on "
                         "/dev/tty; the PCM stream keeps stdout")
     args = p.parse_args(argv)
+    groups = list(args.groups) + list(args.groups_opt)
+    if not groups:
+        p.error("need at least one multicast group (positional or -I)")
 
-    socks = [setup_mcast(g, output=False) for g in args.groups]
+    socks = [setup_mcast(g, output=False) for g in groups]
     mixer = Mixer()
     stop = {"quit": False}
     out = None

@@ -164,3 +164,51 @@ class TestMonitorTUI:
         out = monitor._attach_tui(Mixer(), {"quit": False},
                                   tty_path=str(tmp_path / "no-such-tty"))
         assert out is None
+
+
+def test_monitor_dash_I_group_syntax(tmp_path):
+    """monitor.c adds groups with -I (repeatable); ours accepts both the
+    positional form and -I, merged."""
+    import threading
+    import time
+
+    from ka9q_sdr_tpu.apps import monitor
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT
+
+    G1, G2 = "239.88.7.11:5204", "239.88.7.12:5204"
+    out = tmp_path / "mix.s16"
+    res = {}
+
+    def run():
+        import sys as _s
+        old = _s.stdout
+        with open(out, "wb") as f:
+            class W:  # monitor writes sys.stdout.buffer
+                buffer = f
+            _s.stdout = W()
+            try:
+                res["rc"] = monitor.main(["-q", "-I", G1, "-I", G2,
+                                          "--seconds", "2"])
+            finally:
+                _s.stdout = old
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    tx1 = setup_mcast(G1, output=True)
+    tx2 = setup_mcast(G2, output=True)
+    pay = np.full(240, 3000, ">i2").tobytes()
+    seq = 0
+    while th.is_alive():
+        tx1.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
+                           ssrc=1).to_bytes() + pay)
+        tx2.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
+                           ssrc=2).to_bytes() + pay)
+        seq += 1
+        time.sleep(0.005)
+        th.join(timeout=0.0)
+    th.join(timeout=5.0)
+    assert res.get("rc") == 0
+    a = np.frombuffer(out.read_bytes(), np.int16)
+    # both sessions mixed additively -> nonzero audio present
+    assert len(a) > 0 and np.abs(a.astype(np.int32)).max() > 4000
