@@ -199,3 +199,54 @@ class TestFMPacketChain:
             audio, _ = rx.process(iq[b * Lb : (b + 1) * Lb])
             got += demod.process(np.asarray(audio))
         assert frame in got, [len(g) for g in got]
+
+    def test_aprs_over_nbfm_through_the_channel_bank(self):
+        """The same chain at BANK scale: the AFSK/NBFM signal is one of
+        several carriers into an 8-channel FM ChannelBank; its channel's
+        audio row decodes the APRS frame while a neighbor channel
+        simultaneously demodulates its own tone — the bank is a drop-in
+        for per-channel `radio` in the reference's packet pipeline."""
+        from ka9q_sdr_tpu.models.bank import make_bank_config, ChannelBank
+        from ka9q_sdr_tpu.decode.afsk import AFSKDemodulator, afsk_modulate
+
+        frame = build_ui_frame(src="KA9Q-9", info=b"!3722.50N/12200.00W-bank")
+        audio48 = afsk_modulate(frame, amplitude=1.0)
+        audio48 = np.concatenate(
+            [np.zeros(4000, np.float32), audio48, np.zeros(8000, np.float32)]
+        )
+        FS, Lb = 1536000, 30720          # decim 32, L_dec = 960
+        n_ch = 8
+        usable = 0.9 * FS
+        freqs = list(np.linspace(-usable / 2, usable / 2, n_ch,
+                                 endpoint=False))
+        aprs_ch, tone_ch = 3, 5
+
+        audio_hi = np.repeat(audio48, 32)
+        n = (len(audio_hi) // Lb) * Lb
+        audio_hi = audio_hi[:n]
+        tt = np.arange(n) / FS
+        inst = 3000.0 * audio_hi
+        ph = np.cumsum(2 * np.pi * inst / FS)
+        iq = 0.5 * np.exp(1j * (2 * np.pi * freqs[aprs_ch] * tt + ph))
+        # neighbor: NBFM voice-ish tone at 1 kHz, 3 kHz deviation
+        ph2 = np.cumsum(2 * np.pi * 3000.0 *
+                        np.sin(2 * np.pi * 1000.0 * tt) / FS)
+        iq = (iq + 0.5 * np.exp(1j * (2 * np.pi * freqs[tone_ch] * tt + ph2))
+              ).astype(np.complex64)
+
+        cfg = make_bank_config(n_ch, "FM", samprate=FS, L=Lb,
+                               M=2048 * 32 - Lb + 1)
+        bank = ChannelBank(cfg, freqs)
+        demod = AFSKDemodulator()
+        got = []
+        tone = []
+        for b in range(n // Lb):
+            audio, _ = bank.process(iq[b * Lb:(b + 1) * Lb])
+            a = np.asarray(audio)
+            got += demod.process(a[aprs_ch])
+            tone.append(a[tone_ch])
+        assert frame in got, [len(g) for g in got]
+        x = np.concatenate(tone)[2000:].astype(np.float64)
+        X = np.abs(np.fft.rfft(x)) ** 2
+        k = int(round(1000.0 * len(x) / 48000))
+        assert X[k - 2:k + 3].sum() / X.sum() > 0.5   # neighbor unharmed
