@@ -76,23 +76,33 @@ def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
 def parse_command(data: bytes):
     """Parse one TLV command packet (cmd byte 1) into
     (ssrc, freq, filter_kwargs); None if not a command packet.  Shared by
-    the single-mode and mixed-mode daemons (radio_status.c:217-318)."""
+    the single-mode and mixed-mode daemons (radio_status.c:217-318).
+
+    Non-finite numerics are dropped at the door: a NaN/inf frequency
+    would raise inside bank_tune's int(np.round(...)) and a NaN filter
+    edge inside the window design — a daemon must not be killable (or
+    NaN-poisonable) by one crafted datagram."""
     if not data or data[0] != 1:
         return None
     ssrc = None
     freq = None
     filt: dict = {}
+
+    def _finite(x):
+        return x if np.isfinite(x) else None
+
     for t, v in st.decode_packet(data[1:]):
         if t == StatusType.OUTPUT_SSRC:
             ssrc = int(st.decode_int(v))
         elif t == StatusType.RADIO_FREQUENCY:
-            freq = st.decode_double(v)
+            freq = _finite(st.decode_double(v))
         elif t == StatusType.LOW_EDGE:
-            filt["low"] = st.decode_float(v)
+            filt["low"] = _finite(st.decode_float(v))
         elif t == StatusType.HIGH_EDGE:
-            filt["high"] = st.decode_float(v)
+            filt["high"] = _finite(st.decode_float(v))
         elif t == StatusType.KAISER_BETA:
-            filt["kaiser_beta"] = st.decode_float(v)
+            filt["kaiser_beta"] = _finite(st.decode_float(v))
+    filt = {k: v for k, v in filt.items() if v is not None}
     return ssrc, freq, filt
 
 
@@ -185,6 +195,7 @@ class BankDaemon:
                 self.native_pcm = None
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.blocks_done = 0
+        self._ch_rr = 0
 
     def _sender(self):
         def send(datagram: bytes) -> None:
@@ -212,6 +223,12 @@ class BankDaemon:
         if pending is not None:
             self._emit(*pending)
         self.blocks_done += 1
+
+    def discard_pending(self) -> None:
+        """Drop the in-flight block unemitted (warm-up path): the
+        warm-up zeros must not become a bogus leading block in --pcm-raw
+        or an RTP clock advance on the wire."""
+        self._pending = None
 
     def flush(self) -> None:
         pending = getattr(self, "_pending", None)
@@ -303,7 +320,7 @@ class BankDaemon:
         if self.status_sock is None or not hasattr(self, "_last_diag"):
             return
         nch = self.n_real
-        start = getattr(self, "_ch_rr", 0)
+        start = self._ch_rr
         for i in range(min(4, nch)):
             ch = (start + i) % nch
             try:
@@ -334,7 +351,10 @@ class BankDaemon:
         if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
         if freq is not None and ch is not None:
-            self.bank.tune(ch, freq)
+            try:
+                self.bank.tune(ch, freq)
+            except (ValueError, OverflowError):
+                pass   # absurd frequency (e.g. 1e300): drop the command
         # Filter edits apply bank-wide (the response is SHARED,
         # filter.c:22-35) when unaddressed or validly addressed; a command
         # carrying an out-of-range SSRC is someone else's — drop it whole.
@@ -424,6 +444,7 @@ class MultiBankDaemon:
         self._last_diags = [None] * len(self.pcms)
         self._ssrcs = sorted(self.ssrc_map)   # fixed after build
         self._pending = None
+        self._ch_rr = 0
 
     def _sender(self):
         def send(datagram: bytes) -> None:
@@ -446,7 +467,10 @@ class MultiBankDaemon:
         if ssrc is not None and gi is None:
             return                       # someone else's command: drop whole
         if freq is not None and gi is not None:
-            self.mb.tune(gi[0], gi[1], freq)
+            try:
+                self.mb.tune(gi[0], gi[1], freq)
+            except (ValueError, OverflowError):
+                pass   # absurd frequency: drop the command
         if filt and gi is not None:      # group response needs an address
             try:
                 self.mb.set_filter(gi[0], **filt)
@@ -514,7 +538,7 @@ class MultiBankDaemon:
         if self.status_sock is None or not self._ssrcs:
             return
         ssrcs = self._ssrcs
-        start = getattr(self, "_ch_rr", 0)
+        start = self._ch_rr
         n = min(4, len(ssrcs))
         for i in range(n):
             ssrc = ssrcs[(start + i) % len(ssrcs)]
@@ -702,6 +726,7 @@ def main(argv=None) -> int:
         d.flush()
     elif args.input:
         d.process_block(np.zeros(d.cfg.master.L, np.complex64))  # warm up
+        d.discard_pending()
         d.blocks_done = 0
         from ..native import NATIVE_AVAILABLE
 

@@ -259,11 +259,16 @@ class RadioDaemon:
         opts: dict = {}
         new_freq = None
         new_lo2 = None
+        def _finite(x):
+            # A crafted NaN/inf would raise inside the fixed-point NCO
+            # retune (int(np.round(...))); drop it at the door.
+            return x if np.isfinite(x) else None
+
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
-                new_freq = st.decode_double(v)
+                new_freq = _finite(st.decode_double(v))
             elif t == StatusType.SECOND_LO_FREQUENCY:
-                new_lo2 = st.decode_double(v)
+                new_lo2 = _finite(st.decode_double(v))
             elif t == StatusType.RADIO_MODE:
                 # runtime mode change (set_mode, radio.c:322-374)
                 name = v.decode("ascii", "replace").strip().upper()
@@ -279,7 +284,12 @@ class RadioDaemon:
             elif t == StatusType.KAISER_BETA:
                 filt["kaiser_beta"] = st.decode_float(v)
             elif t == StatusType.SHIFT_FREQUENCY:
-                self.rx.set_shift(st.decode_double(v))
+                s_hz = _finite(st.decode_double(v))
+                if s_hz is not None:
+                    try:
+                        self.rx.set_shift(s_hz)
+                    except (ValueError, OverflowError):
+                        pass   # absurd shift: drop
             elif t == StatusType.INDEPENDENT_SIDEBAND:
                 opts["isb"] = bool(st.decode_int(v))
             elif t == StatusType.PLL_ENABLE:
@@ -299,9 +309,12 @@ class RadioDaemon:
             elif t == StatusType.FILTER_BLOCKSIZE:
                 # 'b' key: L = value, M = L+1 (display.c:866-886)
                 try:
-                    self.rx.set_blocksize(int(st.decode_int(v)))
-                except ValueError:
-                    pass  # incompatible geometry; keep running
+                    bs = int(st.decode_int(v))
+                    if not 0 < bs <= (1 << 26):
+                        raise ValueError("blocksize out of range")
+                    self.rx.set_blocksize(bs)
+                except (ValueError, OverflowError, MemoryError):
+                    pass  # incompatible/absurd geometry; keep running
             elif t == StatusType.SAVE_STATE:
                 self.save_state()
         if new_freq is not None or new_lo2 is not None:
@@ -312,9 +325,12 @@ class RadioDaemon:
             # is the IF item — vary RF and LO2 to keep LO1 the same
             # (display.c:152-159).
             f = self.rx.tune_freq if new_freq is None else new_freq
-            lo1 = self.rx.set_freq(
-                f, np.nan if new_lo2 is None else new_lo2
-            )
+            try:
+                lo1 = self.rx.set_freq(
+                    f, np.nan if new_lo2 is None else new_lo2
+                )
+            except (ValueError, OverflowError):
+                lo1 = None   # absurd frequency: drop the command
             self.freq = f
             if lo1 is not None:
                 self._send_lo1_command(lo1)

@@ -659,6 +659,14 @@ def swap_filter_response(
     low = mode.low if low is None else low
     high = mode.high if high is None else high
     beta = cfg.kaiser_beta if kaiser_beta is None else kaiser_beta
+    # Validate beta HERE, not just at the wire: np.i0 overflows to
+    # inf/NaN for beta beyond ~226 and make_kaiser then returns all-NaN
+    # taps WITHOUT raising — which would NaN-poison the shared response
+    # of every channel.  Reference betas are 0..20 (modes.txt).
+    if not np.isfinite(beta) or not 0.0 <= beta <= 100.0:
+        raise ValueError(f"kaiser_beta out of range: {beta!r}")
+    if not (np.isfinite(low) and np.isfinite(high)):
+        raise ValueError(f"non-finite filter edges: {low!r}, {high!r}")
     out_type = (
         FilterType.CROSS_CONJ
         if (mode.demod == "LINEAR" and mode.isb)
@@ -842,9 +850,12 @@ class ChannelBank:
         side frequency list supplies the old value so no device fetch is
         needed (pure dispatch; see bank_tune)."""
         old = self.freqs[channel]
-        self.freqs[channel] = freq_hz
+        # device update FIRST: if it rejects the frequency (non-finite /
+        # absurd magnitude raises in the fixed-point phase math), the
+        # host-side list must not desync from the device state
         self.state = bank_tune(self.cfg, self.state, channel, freq_hz,
                                old_freq_hz=old)
+        self.freqs[channel] = freq_hz
 
     def set_filter(
         self,
@@ -977,11 +988,12 @@ class MultiBank:
         (ChannelBank.tune semantics; every channel of the mixed-mode bank
         is individually retunable like every reference receiver)."""
         old = self.group_freqs[group][idx]
-        self.group_freqs[group][idx] = freq_hz
+        # device update first, host list second (see ChannelBank.tune)
         self.states[group] = bank_tune(
             self.cfgs[group], self.states[group], idx, freq_hz,
             old_freq_hz=old,
         )
+        self.group_freqs[group][idx] = freq_hz
 
     def set_filter(
         self,

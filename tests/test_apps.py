@@ -727,3 +727,40 @@ def test_pcmcat_ssrc_selection(tmp_path):
     got = np.frombuffer(out.getvalue(), np.int16)
     assert len(got) == 3 * 240
     assert np.all(got == 2222)      # only SSRC 7's payload
+
+
+def test_radio_hostile_numeric_commands(am_recording):
+    """Review-found: NaN SHIFT_FREQUENCY raised through set_shift's
+    fixed-point math; a 2^40 FILTER_BLOCKSIZE died in allocation
+    (MemoryError, not the ValueError the old guard caught).  All must be
+    dropped with the daemon alive and state sane."""
+    import math
+
+    from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+    args = build_parser().parse_args(
+        ["--iq-file", am_recording, "-f", "48k", "-m", "CWU"]
+    )
+    d = RadioDaemon(args)
+    L0 = d.rx.cfg.master.L
+    shift0 = d.rx.cfg.mode.shift
+    for key, enc, bad in (
+        (StatusType.SHIFT_FREQUENCY, "double", math.nan),
+        (StatusType.SHIFT_FREQUENCY, "double", math.inf),
+        (StatusType.RADIO_FREQUENCY, "double", math.nan),
+        (StatusType.SECOND_LO_FREQUENCY, "double", -math.inf),
+        (StatusType.FILTER_BLOCKSIZE, "int", 1 << 40),
+    ):
+        pkt = bytearray([1])
+        if enc == "double":
+            st.encode_double(pkt, key, bad)
+        else:
+            st.encode_int(pkt, key, bad)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))          # must not raise
+    assert d.rx.cfg.master.L == L0
+    assert d.rx.cfg.mode.shift == shift0
+    # the daemon still demodulates after the abuse
+    import numpy as np
+    a, _ = d.rx.process(np.zeros(L0, np.complex64))
+    assert np.all(np.isfinite(np.asarray(a)))

@@ -199,7 +199,8 @@ def test_monitor_dash_I_group_syntax(tmp_path):
     tx2 = setup_mcast(G2, output=True)
     pay = np.full(240, 3000, ">i2").tobytes()
     seq = 0
-    while th.is_alive():
+    deadline = time.time() + 20.0
+    while th.is_alive() and time.time() < deadline:
         tx1.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
                            ssrc=1).to_bytes() + pay)
         tx2.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,

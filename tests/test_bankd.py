@@ -475,7 +475,9 @@ def test_multibank_network_ingest_and_status(tmp_path):
         pay[1::2] = np.clip(sig.imag * 32767, -32768, 32767)
         hdr = RTPHeader(type=IQ_PT, seq=seq & 0xFFFF, timestamp=seq * 240,
                         ssrc=7)
-        tx.send(hdr.to_bytes() + pay.tobytes())
+        # 24-byte legacy status header precedes the samples in every I/Q
+        # packet (main.c:338-341) — the assembler strips it
+        tx.send(hdr.to_bytes() + b"\x00" * 24 + pay.tobytes())
         seq += 1
         if seq % 16 == 0:          # one block's worth
             time.sleep(0.01)
@@ -545,3 +547,45 @@ def test_hostile_filter_edges_do_not_kill_the_daemon(tmp_path):
     st.encode_eol(pkt2)
     d.handle_command(bytes(pkt2))
     assert d.cfg.mode.low == -200.0 and d.cfg.mode.high == 200.0
+
+
+def test_hostile_numerics_do_not_kill_or_poison(tmp_path):
+    """Review-found crash classes: NaN/inf RADIO_FREQUENCY raised inside
+    bank_tune's int(np.round(...)); NaN/oversized KAISER_BETA silently
+    produced an all-NaN shared response (np.i0 overflow) without raising.
+    The daemon must drop all of these and keep its state clean."""
+    import math
+
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channels", str(N_CH)]
+    args = build_parser().parse_args(argv)
+    d = BankDaemon(args, _freqs())
+    f0 = d.bank.freqs[0]
+    resp0 = np.asarray(d.bank.cfg.response).copy()
+
+    for bad in (math.nan, math.inf, -math.inf):
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+        st.encode_double(pkt, StatusType.RADIO_FREQUENCY, bad)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))          # must not raise
+    assert d.bank.freqs[0] == f0              # NaN/inf dropped whole
+    # absurd-but-finite frequency: defined behavior (wraps mod N like the
+    # C's phase arithmetic) and must not raise either
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1e300)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    for bad_beta in (math.nan, 1e10, -5.0):
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+        st.encode_float(pkt, StatusType.KAISER_BETA, bad_beta)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))          # must not raise
+    r = np.asarray(d.bank.cfg.response)
+    assert np.all(np.isfinite(r.view(np.float64) if r.dtype.kind == 'c'
+                              else r))
+    np.testing.assert_array_equal(r, resp0)   # response untouched
