@@ -196,6 +196,7 @@ class BankDaemon:
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.blocks_done = 0
         self._ch_rr = 0
+        self._pending = None
 
     def _sender(self):
         def send(datagram: bytes) -> None:
@@ -218,8 +219,7 @@ class BankDaemon:
             audio, diag = self.bank.process_packed(iq)
         else:
             audio, diag = self.bank.process(iq)
-        pending = getattr(self, "_pending", None)
-        self._pending = (audio, diag)
+        pending, self._pending = self._pending, (audio, diag)
         if pending is not None:
             self._emit(*pending)
         self.blocks_done += 1
@@ -231,9 +231,8 @@ class BankDaemon:
         self._pending = None
 
     def flush(self) -> None:
-        pending = getattr(self, "_pending", None)
-        if pending is not None:
-            self._emit(*pending)
+        if self._pending is not None:
+            self._emit(*self._pending)
             self._pending = None
 
     def _emit(self, audio, diag) -> None:
