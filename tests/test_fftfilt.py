@@ -178,3 +178,34 @@ class TestFourStepFFT:
         np.testing.assert_allclose(
             np.asarray(fd), ref, atol=2e-5 * np.max(np.abs(ref))
         )
+
+
+class TestStockhamExperimental:
+    """Keeps ops/pstock.py (the r4 pallas master-FFT route) correct:
+    numpy recurrence and interpret-mode kernel vs np.fft."""
+
+    def test_stockham_recurrence(self):
+        from ka9q_sdr_tpu.ops.pstock import stockham_rows_np
+
+        rng = np.random.default_rng(0)
+        for Q in (16, 1024):
+            x = (rng.standard_normal((Q, 3))
+                 + 1j * rng.standard_normal((Q, 3)))
+            want = np.fft.fft(x, axis=0)
+            err = np.abs(stockham_rows_np(x) - want).max() / np.abs(want).max()
+            assert err < 1e-12, (Q, err)
+
+    def test_pallas_kernel_interpret(self):
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.pstock import make_fft_cols
+
+        rng = np.random.default_rng(1)
+        Q, P, CW = 256, 512, 128
+        x = (rng.standard_normal((Q, P))
+             + 1j * rng.standard_normal((Q, P))).astype(np.complex64)
+        f = make_fft_cols(Q, P, CW, interpret=True)
+        yr, yi = f(jnp.asarray(x.real.copy()), jnp.asarray(x.imag.copy()))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fft(x, axis=0)
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-6, err
