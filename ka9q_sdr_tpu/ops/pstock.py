@@ -1,47 +1,41 @@
-"""EXPERIMENTAL: Pallas column-Stockham FFT — the measured r4 route to a
-~2x master FFT (not yet wired into fftfilt; see ARCHITECTURE.md §6b).
+"""EXPERIMENTAL (closed, r4): Pallas column-FFT kernels — built,
+measured on the chip, and rejected.  The shipping big-FFT path is
+`fftfilt.fft_mxu` (3-level MXU decomposition, 1.25-1.30x); this module
+keeps the pallas kernels and the measurements so no future round
+re-derives them.  Full story: ARCHITECTURE.md §6b.
 
-Why this shape wins where every other Pallas FFT formulation lost (all
-measured on the chip, r3):
+What was measured (compiled on v5e, slope method, (4096,4096) f32
+planes = 128 MB working set):
 
-- The ONLY cheap data movements in a Mosaic kernel are row-granular:
-  leading-axis reshapes/slices/stacks of a (rows, lanes) block.  Lane
-  shuffles, transposes and sub-128 lane slices all measured 4-20x off
-  bandwidth (ARCHITECTURE §6b "Pallas kernels").
-- A Stockham radix-2 FFT *along the row axis* uses nothing else: each
-  stage is two leading-axis slices, a complex butterfly, a broadcast
-  twiddle (function of the row index only), and a stack — all
-  row-granular, auto-sorting, no bit-reversal anywhere.
-- Column-slab streaming of a (4096, 4096) f32 matrix measured
-  **436.6 GB/s** through a pallas kernel, and 12 in-VMEM butterfly
-  rounds on the slab were FULLY HIDDEN under that streaming (the +12
-  rounds variant measured the same as the bare copy).
-- Twiddle angles p/n are exact dyadic rationals for power-of-two n, so
-  in-kernel sincos is full f32 accuracy (verified: rel err 2.5e-7 at
-  Q=256 in interpret mode) — no tables, no extra HBM traffic.
+- true Stockham (this file's make_fft_cols): 4.16 ms (65 GB/s).  The
+  s<8 sublane-granular stack-interleaves alone cost ~3 ms — the r3
+  "butterflies fully hidden under 437 GB/s slab streaming" microbench
+  did register-resident elementwise rounds, which do NOT model the
+  cross-row movement an FFT needs.
+- DIF formulation (contiguous-half butterflies, 3-stage pltpu.roll
+  tail, bit-reversed output): 1.67 ms (161 GB/s).
+- leveled DIF (3-4 radix-2 stages fused per materialisation via the
+  radix-8 register-renaming identity): 1.47 ms (183 GB/s) — 1.7x over
+  XLA's own column FFT (2.46 ms), but the full four-step composition
+  (c2p + 2 passes + inter-pass twiddle + 2 perm/transpose fixups,
+  each measured) budgets to 22-24 ms at 2^26 = parity with XLA's
+  fourstep.  Not worth the Mosaic surface.
+- inter-pass twiddle costs +1.0 ms/2^24 in-kernel whether by full
+  sincos or by phase recurrence from persistent VMEM scratch (the
+  apply is bandwidth-bound, not transcendental-bound); an in-kernel
+  einsum radix-8 tail blows the register allocator (163 MB of spills).
 
-The big-FFT composition this enables (the r4 task): a 2^24-2^26 master
-FFT as four-step with BOTH passes as this kernel — pass 2 reads
-column-slabs of the transposed view directly through its BlockSpec
-index_map (strided 2 KB row segments, measured at the 436 GB/s above),
-so there are NO separate transpose passes; the inter-pass twiddle
-W^(n1*k2) fuses into pass 1's output (outer-product phase, integer-mod
-reduced like fft_fourstep's).  Expected: ~2 passes x ~2.3 ms = ~10-12 ms
-at 2^26 vs the current 22.6 ms fourstep — the master FFT is 54% of the
-flagship block.
-
-Known constraints (hit in r3):
-- v5e VMEM is 128 MB and the naively-unrolled 12-stage kernel at
-  CW=512 (8 MB/plane blocks) overflowed it (136 MB "internal scratch");
-  CW=256 is the starting point, or wrap stages in a fori_loop to force
-  buffer reuse.
+Operational traps for anyone reopening this:
+- v5e VMEM is 128 MB; CW=256 blocks fit at Q=4096, CW=128 at Q=8192.
 - `broadcasted_iota` must be integer dtype on TPU (cast to f32 after).
-- Through the remote tunnel, kill -9 of a mid-compile client wedges the
-  tunnel for ~40 min — iterate on this kernel with patience and
-  `--blocks`-style self-termination, never external kills.
+- `pltpu.roll` requires non-negative shifts (use (shift % Q)).
+- pallas kernels cannot capture jnp array constants — build small
+  matrices from iota math inside the kernel.
+- Through the remote tunnel, kill -9 of a mid-compile client wedges
+  the tunnel for ~40 min — iterate with self-terminating scripts.
 
 The interpret-mode test in tests/test_fftfilt.py keeps the recurrence
-correct until the TPU wiring lands.
+correct.
 """
 
 from __future__ import annotations

@@ -209,3 +209,41 @@ class TestStockhamExperimental:
         want = np.fft.fft(x, axis=0)
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 2e-6, err
+
+
+class TestMxuFFT:
+    """fft_mxu: the TPU big-FFT path (3-level MXU matmul decomposition,
+    r4 — 1.30x over fft_fourstep at 2^26).  On CPU einsum is exact f32,
+    so these check the decomposition's math; the bf16x3 precision
+    behaviour on the chip is documented in PARITY.md."""
+
+    def test_matches_numpy_fft(self):
+        import jax
+        from ka9q_sdr_tpu.ops.fftfilt import fft_mxu
+
+        rng = np.random.default_rng(7)
+        for N, rad in ((1 << 18, (64, 64, 64)), (1 << 19, (128, 64, 64))):
+            z = (rng.standard_normal(N) + 1j * rng.standard_normal(N)).astype(
+                np.complex64)
+            got = np.asarray(jax.jit(lambda x: fft_mxu(x, radices=rad))(z))
+            ref = np.fft.fft(z)
+            np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)))
+
+    def test_radix_table(self):
+        from ka9q_sdr_tpu.ops.fftfilt import _mxu_radices
+
+        # production sizes factor into 128..512 triples; odd sizes decline
+        for logN in (24, 25, 26, 27):
+            rad = _mxu_radices(1 << logN)
+            assert rad is not None and int(np.prod(rad)) == 1 << logN
+            assert all(128 <= r <= 512 for r in rad), rad
+        assert _mxu_radices(1 << 21) is None      # no 128..512 triple
+        assert _mxu_radices((1 << 25) - 4) is None  # not a power of two
+
+    def test_bad_radices_raise(self):
+        from ka9q_sdr_tpu.ops.fftfilt import fft_mxu
+        import jax.numpy as jnp
+        import pytest
+
+        with pytest.raises(ValueError, match="factor"):
+            fft_mxu(jnp.zeros(1 << 18, jnp.complex64), radices=(64, 64, 32))
