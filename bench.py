@@ -129,12 +129,14 @@ def main():
     # ~2.1, at the cost of a 148 ms block (fine for monitoring-scale
     # channelisation; the reference-cadence 20 ms row below keeps the
     # Opus-friendly latency).
-    # r3 channel-scaling sweep (measured): the per-channel stages scale
-    # linearly and the chip saturates near 3.0M ch*Msps —
-    #   2048 ch: 2.04M (2.54x rt) | 4096: 2.67M (1.66x) |
-    #   6144 ch: 2.92M (1.21x rt) | 8192: 3.00M (0.93x, SUB-realtime)
-    # 6144 is the widest sustained-realtime point -> flagship headline.
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "6144"))
+    # Channel-scaling sweep (re-measured r4 with the fft_mxu master):
+    # the per-channel stages scale linearly and the chip saturates near
+    # 3.2M ch*Msps —
+    #   2048 ch: 2.18M (2.70x rt) | 6144: 3.02M (1.25x) |
+    #   7168 ch: 3.22M (1.14x rt) | 8192: 3.16M (0.98x, SUB-realtime)
+    # 7168 is the widest sustained-realtime point -> flagship headline
+    # (r3, with the four-step master, topped out at 6144 ch / 2.92M).
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "7168"))
     samprate = float(os.environ.get("BENCH_SAMPRATE", str(393.216e6)))
     L = int(os.environ.get("BENCH_L", str(58195968)))    # L_dec = 7104
     M = int(os.environ.get("BENCH_M", str(8912897)))     # M_dec = 1089
@@ -240,8 +242,8 @@ def main():
             f"# scaling: 2048 ch long blocks: {sps_s/1e6:.2f} Msps "
             f"({sps_s/samprate:.2f}x realtime), "
             f"{2048*sps_s/1e6:.0f} ch*Msps  "
-            f"[measured curve: 2048->2.04M, 4096->2.67M, 6144->2.92M, "
-            f"8192->3.00M ch*Msps (8192 is 0.93x rt, sub-realtime)]",
+            f"[r4 curve: 2048->2.18M, 6144->3.02M, 7168->3.22M, "
+            f"8192->3.16M ch*Msps (8192 is 0.98x rt, sub-realtime)]",
             file=sys.stderr,
         )
 
