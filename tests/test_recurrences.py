@@ -253,3 +253,40 @@ class TestNCOSweep:
         # phase continuity: no jumps at block boundaries
         d = np.diff(ph)
         assert np.all(np.abs(np.diff(d)) < 1e-4)
+
+
+class TestPallasFill:
+    """ops/ffill._fill_pallas (the TPU single-pass fill, r4: 23 -> ~2 ms
+    at (7168,7104)) must agree exactly with the associative-scan path.
+    CI runs it in interpret mode; padding edges (B not a multiple of the
+    64-row grid block, T not a multiple of 128 lanes) are exercised."""
+
+    def test_matches_scan(self):
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.ffill import _fill_pallas, _fill_scan
+
+        rng = np.random.default_rng(3)
+        for B, T in ((64, 256), (7, 100), (130, 391)):
+            v1 = rng.standard_normal((B, T)).astype(np.float32)
+            v2 = rng.standard_normal((B, T)).astype(np.float32)
+            m = rng.random((B, T)) < 0.6
+            i1 = rng.standard_normal(B).astype(np.float32)
+            i2 = rng.standard_normal(B).astype(np.float32)
+            args = ((jnp.asarray(v1), jnp.asarray(v2)), jnp.asarray(m),
+                    (jnp.asarray(i1), jnp.asarray(i2)))
+            got = _fill_pallas(*args, interpret=True)
+            want = _fill_scan(*args)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_all_weak_rows_take_init(self):
+        import jax.numpy as jnp
+        from ka9q_sdr_tpu.ops.ffill import _fill_pallas
+
+        B, T = 8, 200
+        v = jnp.zeros((B, T), jnp.float32)
+        m = jnp.zeros((B, T), bool)
+        init = jnp.arange(B, dtype=jnp.float32)
+        (out,) = _fill_pallas((v,), m, (init,), interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.broadcast_to(np.arange(B, dtype=np.float32)[:, None], (B, T)))
