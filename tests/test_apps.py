@@ -340,6 +340,19 @@ class TestCustomModesFile:
         assert d.rx.cfg.mode.high == 9000.0
         assert d.rx.cfg.mode.demod == "AM"
 
+    def test_shipped_modes_txt_matches_default_table(self):
+        """The installable data/modes.txt (reference ships modes.txt as an
+        editable file) parses to exactly the built-in table, so editing a
+        copy starts from the true defaults.  (Compared against a fresh
+        parse of _DEFAULT_TABLE, not the DEFAULT_MODES global — radio
+        --modes updates the global in place, matching the reference's
+        process-global Modes table, modes.c:32.)"""
+        from importlib import resources as res
+        from ka9q_sdr_tpu.utils.modes import _DEFAULT_TABLE, parse_modes
+
+        text = (res.files("ka9q_sdr_tpu") / "data" / "modes.txt").read_text()
+        assert parse_modes(text) == parse_modes(_DEFAULT_TABLE)
+
 
 class TestFaultTolerance:
     def test_gap_preserves_lo_phase_and_timing(self, am_recording):
