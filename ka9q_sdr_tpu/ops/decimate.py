@@ -45,15 +45,24 @@ _HB3_TAPS = np.array([1.0, 2.0, 1.0])
 
 def _fir_decim2(state: jax.Array, x: jax.Array, taps: np.ndarray):
     """Decimate-by-2 FIR: y[k] = sum_j taps[j] * xx[2k + j] with
-    xx = [carried overlap | x].  Returns (new_state, y)."""
+    xx = [carried overlap | x].  Returns (new_state, y).
+
+    Computed as weighted strided SLICES (one per nonzero tap — half-band
+    filters have zero even taps, so hb15 is 9 terms, hb3 is 3): pure VPU
+    multiply-adds in the input dtype.  An earlier windowed-gather+einsum
+    form had two TPU problems: a (n_out, ntaps) fancy-index gather, and
+    jnp.einsum's TPU default precision (1-pass bf16, err ~5e-3 — the r4
+    trap; see fft_mxu's docstring) silently degrading the cascade."""
     ntaps = len(taps)
     xx = jnp.concatenate([state, x], axis=-1)
     n_out = x.shape[-1] // 2
-    # Gather strided windows as a (n_out, ntaps) matrix and contract.
-    # XLA fuses this into a strided convolution.
-    idx = 2 * jnp.arange(n_out)[:, None] + jnp.arange(ntaps)[None, :]
-    win = xx[..., idx]
-    y = jnp.einsum("...kt,t->...k", win, jnp.asarray(taps, dtype=x.dtype))
+    y = None
+    for j, tap in enumerate(taps):
+        if tap == 0.0:
+            continue
+        sl = jax.lax.slice_in_dim(xx, j, j + 2 * n_out, stride=2, axis=-1)
+        term = sl if tap == 1.0 else sl * jnp.asarray(tap, x.dtype)
+        y = term if y is None else y + term
     new_state = xx[..., x.shape[-1]:]
     return new_state, y
 
