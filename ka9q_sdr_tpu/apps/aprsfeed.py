@@ -53,16 +53,32 @@ def should_relay(frame) -> tuple[bool, str]:
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="aprsfeed")
+    # add_help=False so -h can be the APRS-IS host, as in the reference
+    # (aprsfeed.c getopt "u:p:I:vh:f:"); --help still works
+    p = argparse.ArgumentParser(prog="aprsfeed", add_help=False)
+    p.add_argument("--help", action="help",
+                   help="show this help message and exit")
     p.add_argument("-I", "--input", required=True, help="AX.25 multicast")
     p.add_argument("-u", "--user", required=True, help="callsign[-ssid]")
     p.add_argument("-p", "--passcode", default=None)
-    p.add_argument("-H", "--host", default="noam.aprs2.net")
+    p.add_argument("-h", "-H", "--host", default="noam.aprs2.net",
+                   help="APRS-IS server (aprsfeed.c -h)")
     p.add_argument("-P", "--port", default="14580")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print each frame decision to stderr")
+    p.add_argument("-f", "--logfile", default=None,
+                   help="append frame log lines to a file instead of "
+                        "stderr (aprsfeed.c -f)")
     p.add_argument("--dry-run", action="store_true",
                    help="log what would be sent, no TCP connection")
     args = p.parse_args(argv)
 
+    if args.logfile:
+        logf = open(args.logfile, "a", buffering=1)
+    elif args.verbose or args.dry_run:
+        logf = sys.stderr
+    else:
+        logf = None
     passcode = args.passcode or str(aprs_passcode(args.user))
     in_sock = setup_mcast(args.input, output=False)
 
@@ -92,7 +108,8 @@ def main(argv=None) -> int:
         frame = ax25_parse(data[off:])
         ok, why = should_relay(frame)
         mon = frame_to_tnc2(frame) if frame else ""
-        print(f" {mon}" if ok else f" Not relaying: {why}", file=sys.stderr)
+        if logf is not None:
+            print(f" {mon}" if ok else f" Not relaying: {why}", file=logf)
         if not ok:
             continue
         if args.dry_run:

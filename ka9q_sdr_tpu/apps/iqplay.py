@@ -35,8 +35,10 @@ def play_stream(
     realtime: bool = True,
     status_interval: int = 1,
 ):
-    """Send packets from read_block() (returns <=BLOCKSIZE*4 bytes of s16le
-    I/Q or b'' at EOF), pacing to the sample clock."""
+    """Send packets from read_block() (returns one packet's worth of s16le
+    I/Q bytes — default BLOCKSIZE samples, -b overrides — or b'' at EOF),
+    pacing to the sample clock.  One read = one UDP datagram; the repo's
+    receivers use 9000-byte buffers, so main() caps -b at 2048 samples."""
     seq = 0
     timestamp = 0
     ssrc = int(time.time()) & 0xFFFFFFFF
@@ -92,7 +94,8 @@ def native_main(args) -> int:
             sent += tx.send(iq, pkt_samples=args.pkt_samples,
                             realtime=not args.fast)
         tx.close()
-        print(f"{path}: {sent} packets (native)", file=sys.stderr)
+        if args.verbose:
+            print(f"{path}: {sent} packets (native)", file=sys.stderr)
     return 0
 
 
@@ -103,23 +106,37 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--frequency", type=float, default=0.0)
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--fast", action="store_true", help="no real-time pacing")
-    p.add_argument("-l", "--loop", action="store_true",
-                   help="loop the recording (iqplay.c -l)")
+    p.add_argument("--loop", action="store_true", help="loop the recording")
+    p.add_argument("-l", "--locale", default=None,
+                   help="numeric output locale (iqplay.c:143 -l; "
+                        "best-effort)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-file progress to stderr (iqplay.c -v)")
+    p.add_argument("-b", "--pkt-samples", dest="pkt_samples", type=int,
+                   default=BLOCKSIZE,
+                   help="samples per packet (iqplay.c:146 -b Blocksize)")
     p.add_argument("--native", action="store_true",
                    help="use the C++ sender (required beyond ~2 Msps)")
-    p.add_argument("--pkt-samples", type=int, default=BLOCKSIZE)
     p.add_argument("files", nargs="+", help="recordings, or - for stdin")
     args = p.parse_args(argv)
+    from ..utils.misc import set_locale
+    set_locale(args.locale)
+    if args.pkt_samples > 2048:
+        # one read = one datagram; receivers here use recvfrom(9000)
+        print(f"iqplay: -b {args.pkt_samples} capped to 2048 samples "
+              "(8 KiB datagrams)", file=sys.stderr)
+        args.pkt_samples = 2048
 
     if args.native:
         return native_main(args)
     sock = setup_mcast(args.output, output=True, ttl=args.ttl)
+    nread = args.pkt_samples * 4
     for path in args.files:
         if path == "-":
             samprate = args.samprate or 192000
             freq = args.frequency
             f = sys.stdin.buffer
-            reader = lambda: f.read(BLOCKSIZE * 4)
+            reader = lambda: f.read(nread)
         else:
             attrs = read_metadata(path)
             samprate = args.samprate or int(attrs.get("samplerate", 192000))
@@ -127,14 +144,15 @@ def main(argv=None) -> int:
             fh = open(path, "rb")
 
             def reader(fh=fh):
-                d = fh.read(BLOCKSIZE * 4)
+                d = fh.read(nread)
                 if not d and args.loop:
                     fh.seek(0)
-                    d = fh.read(BLOCKSIZE * 4)
+                    d = fh.read(nread)
                 return d
 
         n = play_stream(reader, sock, samprate, freq, realtime=not args.fast)
-        print(f"{path}: {n} packets", file=sys.stderr)
+        if args.verbose:
+            print(f"{path}: {n} packets", file=sys.stderr)
     return 0
 
 

@@ -4,7 +4,11 @@ One file per (sender, SSRC) session, headerless s16 with xattr metadata;
 RTP timestamp gaps become sparse-file holes preserving sample timing.
 
 Usage:
-  python -m ka9q_sdr_tpu.apps.iqrecord -I 239.1.1.1:5004 -d /tmp/recs
+  python -m ka9q_sdr_tpu.apps.iqrecord -I 239.1.1.1:5004 -D /tmp/recs
+
+Reference flags: -I input, -d duration (seconds of recorded stream
+time), -l locale, -q quiet (iqrecord.c:96-110); the output directory is
+-D/--directory here (the reference records into its cwd).
 """
 
 from __future__ import annotations
@@ -21,13 +25,25 @@ from ..io.iqfile import IQRecorder
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="iqrecord")
     p.add_argument("-I", "--input", required=True, help="multicast name:port")
-    p.add_argument("-d", "--directory", default=".")
+    p.add_argument("-d", "--duration", type=float, default=0.0,
+                   help="stop after recording N seconds of stream time "
+                        "(iqrecord.c:106,159 -d)")
+    p.add_argument("-D", "--directory", default=".")
+    p.add_argument("-l", "--locale", default=None,
+                   help="numeric output locale (reference -l; accepted "
+                        "for drop-in compatibility)")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress display (reference -q; we print nothing "
+                        "either way)")
     p.add_argument("--packets", type=int, default=0, help="stop after N")
     args = p.parse_args(argv)
+    from ..utils.misc import set_locale
+    set_locale(args.locale)
 
     sock = setup_mcast(args.input, output=False)
     sessions: dict[tuple, IQRecorder] = {}
     n = 0
+    t_rec = 0.0            # recorded stream time (iqrecord.c:303)
     try:
         while True:
             data, sender = sock.recvfrom(9000)
@@ -39,8 +55,8 @@ def main(argv=None) -> int:
                 continue
             payload = data[off:]
             freq = 0.0
-            samprate = 192000
             if hdr.type in (IQ_PT, IQ_PT8):
+                samprate = 192000
                 # legacy status header carries frequency/rate (iqrecord.c)
                 if len(payload) >= LEGACY_STATUS_SIZE:
                     status = LegacyStatus.from_bytes(payload)
@@ -48,6 +64,8 @@ def main(argv=None) -> int:
                         samprate = status.samprate
                         freq = status.frequency
                     payload = payload[LEGACY_STATUS_SIZE:]
+            else:
+                samprate = 48000      # PCM sessions (iqrecord.c:213-219)
             key = (sender[0], hdr.ssrc)
             rec = sessions.get(key)
             if rec is None:
@@ -61,6 +79,10 @@ def main(argv=None) -> int:
                 sessions[key] = rec
             rec.write_packet(hdr, payload)
             n += 1
+            frame = IQRecorder.frame_bytes(hdr.type)
+            t_rec += (len(payload) // frame) / rec.samprate
+            if args.duration and t_rec >= args.duration:
+                return 0
             if args.packets and n >= args.packets:
                 return 0
     except KeyboardInterrupt:

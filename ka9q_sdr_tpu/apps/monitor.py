@@ -127,12 +127,29 @@ def main(argv=None) -> int:
     p.add_argument("-q", "--quiet", action="store_true",
                    help="accepted for reference compatibility (no UI is "
                         "already the default; --tui opts in)")
+    p.add_argument("-L", "--list-audio", action="store_true",
+                   help="list audio devices (monitor.c -L); this target "
+                        "has no audio device — the sink is stdout")
+    p.add_argument("-R", dest="audiodev", default=None,
+                   help="audio output device (monitor.c -R); n/a here — "
+                        "accepted for drop-in compatibility, sink is stdout")
+    p.add_argument("-u", "--update-interval", type=int, default=0,
+                   help="UI update interval (monitor.c -u); accepted for "
+                        "drop-in compatibility")
     p.add_argument("--seconds", type=float, default=0.0, help="stop after N s")
     p.add_argument("--chunk-ms", type=float, default=20.0)
     p.add_argument("--tui", action="store_true",
                    help="interactive session mixer (gain/pan/mute) on "
                         "/dev/tty; the PCM stream keeps stdout")
     args = p.parse_args(argv)
+    if args.list_audio:
+        print("no audio devices in this target; the mixed 48 kHz stereo "
+              "s16 stream goes to stdout (pipe to aplay or a file)",
+              file=sys.stderr)
+        return 0
+    if args.audiodev:
+        print(f"monitor: audio device {args.audiodev!r} n/a in this "
+              "target; writing s16 to stdout", file=sys.stderr)
     groups = list(args.groups) + list(args.groups_opt)
     if not groups:
         p.error("need at least one multicast group (positional or -I)")

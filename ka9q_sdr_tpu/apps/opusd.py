@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("-x", "--dtx", action="store_true")
     p.add_argument("-f", "--fec", action="store_true")
     p.add_argument("-T", "--ttl", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="accepted for reference compatibility (opus.c -v)")
     p.add_argument("--packets", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -29,7 +29,21 @@ def main(argv=None) -> int:
     p.add_argument("-1", "--mono", action="store_true")
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--fast", action="store_true", help="no pacing")
+    p.add_argument("-I", dest="audiodev", default=None,
+                   help="capture device (pcmsend.c -I); n/a in this target — "
+                        "audio comes from stdin")
+    p.add_argument("-L", "--list-audio", action="store_true",
+                   help="list audio devices (pcmsend.c -L); none here")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="accepted for reference compatibility")
     args = p.parse_args(argv)
+    if args.list_audio:
+        print("no audio capture devices in this target; pipe s16 audio "
+              "to stdin", file=sys.stderr)
+        return 0
+    if args.audiodev:
+        print(f"{p.prog}: capture device {args.audiodev!r} n/a; reading "
+              "stdin", file=sys.stderr)
 
     sock = setup_mcast(args.output, output=True, ttl=args.ttl)
     out = PCMOutput(send=sock.send, ssrc=int(time.time()) & 0xFFFFFFFF)

@@ -43,6 +43,8 @@ __all__ = ["main", "RadioDaemon"]
 class RadioDaemon:
     def __init__(self, args):
         self.args = args
+        from ..utils.misc import set_locale
+        set_locale(getattr(args, "locale", None))   # main.c:150-153
         if getattr(args, "modes", None):
             from ..utils import modes as _modes
 
@@ -573,6 +575,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="run the DSP on the host CPU backend instead of TPU")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-l", "--locale", default=None,
+                   help="numeric output locale (main.c -l; best-effort)")
+    p.add_argument("-t", "--fft-threads", type=int, default=0,
+                   help="FFTW thread count in the reference (main.c:181); "
+                        "accepted for drop-in compatibility — XLA manages "
+                        "its own parallelism")
+    p.add_argument("-u", "--update-interval", type=int, default=0,
+                   help="display update interval (main.c -u; accepted for "
+                        "drop-in compatibility — the display app has its "
+                        "own refresh loop)")
     p.add_argument("--no-native", action="store_true",
                    help="use the Python transport instead of the C++ engine")
     return p

@@ -18,7 +18,8 @@ from typing import Optional
 
 import numpy as np
 
-from ..net.rtp import RTPHeader, RTPState, rtp_process, IQ_PT, PCM_MONO_PT
+from ..net.rtp import (RTPHeader, RTPState, rtp_process, IQ_PT, IQ_PT8,
+                       PCM_MONO_PT)
 
 __all__ = ["write_metadata", "read_metadata", "IQRecorder", "IQReader"]
 
@@ -102,11 +103,21 @@ class IQRecorder:
         write_metadata(path, attrs)
         self.path = path
 
+    @staticmethod
+    def frame_bytes(ptype: int) -> int:
+        """Bytes per sample frame: components x component width (the
+        8-bit I/Q PT 98 carries 1-byte components, sdr.h/multicast.h)."""
+        if ptype == PCM_MONO_PT:
+            return 2            # 1 ch x s16
+        if ptype == IQ_PT8:
+            return 2            # 2 ch x s8
+        return 4                # IQ s16 pairs / PCM stereo
+
     def write_packet(self, rtp: RTPHeader, payload: bytes) -> None:
         if self._fp is None:
             self._open(rtp)
-        channels = 1 if rtp.type == PCM_MONO_PT else 2
-        sample_count = len(payload) // (2 * channels)
+        frame = self.frame_bytes(rtp.type)
+        sample_count = len(payload) // frame
         offset = rtp_process(self._rtp_state, rtp, sample_count)
         if offset < 0:
             # duplicates still get written at the right place in the
@@ -114,7 +125,7 @@ class IQRecorder:
             return
         if offset:
             # leave a hole: sparse file preserves timing (iqrecord.c:301)
-            self._fp.seek(offset * 2 * channels, os.SEEK_CUR)
+            self._fp.seek(offset * frame, os.SEEK_CUR)
         self._fp.write(payload)
 
     def close(self) -> None:

@@ -11,9 +11,24 @@ __all__ = [
     "voltage2db",
     "power2db",
     "db2power",
+    "set_locale",
     "GPS_UTC_OFFSET",
     "UNIX_EPOCH_GPS",
 ]
+
+
+def set_locale(name: str | None) -> None:
+    """Best-effort setlocale for the daemons' reference -l flag
+    (main.c:150-153, iqplay.c:143, iqrecord.c): the reference uses it
+    only for numeric display formatting, so an unknown locale is not an
+    error."""
+    if not name:
+        return
+    import locale
+    try:
+        locale.setlocale(locale.LC_ALL, name)
+    except locale.Error:
+        pass
 
 #: GPS-UTC leap second offset and GPS epoch in UNIX time (sdr.h timestamp
 #: convention: nanoseconds since GPS epoch 1980-01-06).

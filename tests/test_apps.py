@@ -287,7 +287,7 @@ class TestIQRecordRoundtrip:
         npkts = 300
         t = threading.Thread(
             target=rec_main,
-            args=(["-I", grp, "-d", rec_dir, "--packets", str(npkts)],),
+            args=(["-I", grp, "-D", rec_dir, "--packets", str(npkts)],),
         )
         t.start()
         time.sleep(0.5)
@@ -321,6 +321,69 @@ class TestIQRecordRoundtrip:
         a = np.frombuffer(open(pcm, "rb").read(), ">i2").astype(np.float32) / 32767
         assert len(a) > 10000
         assert abs(_tone(a) - 400.0) < 5.0
+
+
+class TestIQRecorderFrameSizes:
+    def test_iq8_gap_hole_uses_one_byte_components(self, tmp_path):
+        """8-bit I/Q (PT 98) frames are 2 bytes, not 4: a timestamp gap
+        must leave a hole of gap*2 bytes (a 16-bit-sized hole would
+        double every subsequent sample's timing offset)."""
+        import os
+
+        from ka9q_sdr_tpu.io.iqfile import IQRecorder
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT8
+
+        rec = IQRecorder(directory=str(tmp_path))
+        pay = bytes(range(200))                      # 100 IQ8 samples
+        rec.write_packet(RTPHeader(type=IQ_PT8, seq=0, timestamp=0,
+                                   ssrc=7), pay)
+        # 50-sample gap
+        rec.write_packet(RTPHeader(type=IQ_PT8, seq=1, timestamp=150,
+                                   ssrc=7), pay)
+        rec.close()
+        size = os.path.getsize(rec.path)
+        assert size == (100 + 50 + 100) * 2
+
+
+class TestIQRecordDuration:
+    def test_d_stops_after_stream_seconds(self, am_recording, tmp_path):
+        """iqrecord -d N stops after N seconds of RECORDED stream time
+        (iqrecord.c:159,303), independent of wall clock."""
+        import os
+
+        from ka9q_sdr_tpu.apps.iqrecord import main as rec_main
+        from ka9q_sdr_tpu.apps.iqplay import play_stream
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+
+        grp = "239.88.9.3:5004"
+        rec_dir = str(tmp_path / "recs")
+        os.makedirs(rec_dir)
+        t = threading.Thread(
+            target=rec_main,
+            args=(["-I", grp, "-D", rec_dir, "-d", "0.05"],),
+        )
+        t.start()
+        time.sleep(0.3)
+        tx = setup_mcast(grp, output=True, ttl=0)
+        fh = open(am_recording, "rb")
+
+        def reader():
+            return fh.read(960)    # 240 IQ samples = 1.25 ms at 192k
+
+        for _ in range(20):        # 0.05 s of stream = 40 packets
+            fh.seek(0)
+            play_stream(reader, tx, 192000, 146520000.0, realtime=False)
+            time.sleep(0.1)
+            if not t.is_alive():
+                break
+        t.join(timeout=10)
+        assert not t.is_alive()
+        recs = [f for f in os.listdir(rec_dir) if not f.endswith(".attrs")]
+        assert len(recs) == 1
+        # 0.05 s at 192 kHz x 4 B: the recorder stopped at ~the bound,
+        # not at EOF of the 0.5 s feed
+        size = os.path.getsize(os.path.join(rec_dir, recs[0]))
+        assert 0.05 * 192000 * 4 <= size < 0.10 * 192000 * 4
 
 
 class TestCustomModesFile:
@@ -777,3 +840,72 @@ def test_radio_hostile_numeric_commands(am_recording):
     import numpy as np
     a, _ = d.rx.process(np.zeros(L0, np.complex64))
     assert np.all(np.isfinite(np.asarray(a)))
+
+
+class TestReferenceFlagSurface:
+    """Every short flag in the reference daemons' getopt strings is
+    accepted by the drop-in CLI (main.c:131, monitor.c, opus.c,
+    iqrecord.c, iqplay.c, packet.c, aprsfeed.c).  --help must still work
+    everywhere (aprsfeed repurposes -h as the APRS-IS host, like the C)."""
+
+    def test_help_works_everywhere(self, capsys):
+        import importlib
+        for app in ("radio", "monitor", "opusd", "iqrecord", "iqplay",
+                    "packetd", "aprsfeed", "pcmcat", "pcmsend", "opussend",
+                    "frontend", "modulate", "control", "bankd"):
+            mod = importlib.import_module(f"ka9q_sdr_tpu.apps.{app}")
+            with pytest.raises(SystemExit) as e:
+                mod.main(["--help"])
+            assert e.value.code == 0, app
+            assert "usage" in capsys.readouterr().out.lower(), app
+
+    def test_reference_short_flags_parse(self):
+        """Short flags with reference semantics parse without eating
+        positionals (regression: iqplay -l was a bool, so `-l en_US`
+        swallowed the file; iqrecord -d was the directory, not the
+        duration)."""
+        from ka9q_sdr_tpu.apps.radio import build_parser
+
+        a = build_parser().parse_args(
+            ["-f", "147m435", "-l", "C", "-t", "4", "-u", "100",
+             "--iq-file", "x.iq"])
+        assert a.locale == "C" and a.fft_threads == 4
+
+    def test_iqplay_locale_vs_loop(self):
+        """-l takes the locale VALUE (iqplay.c:143); the file stays
+        positional and does not get eaten as the locale."""
+        import argparse
+
+        from ka9q_sdr_tpu.apps import iqplay
+
+        # rebuild the parser exactly as main() does, but stop at parsing
+        captured = {}
+        real_parse = argparse.ArgumentParser.parse_args
+
+        def spy(self, argv=None, ns=None):
+            a = real_parse(self, argv, ns)
+            captured.update(vars(a))
+            raise SystemExit(0)       # stop main() before socket setup
+
+        argparse.ArgumentParser.parse_args = spy
+        try:
+            with pytest.raises(SystemExit):
+                iqplay.main(["-R", "239.9.9.9:5004", "-l", "C",
+                             "-b", "480", "file.iq"])
+        finally:
+            argparse.ArgumentParser.parse_args = real_parse
+        assert captured["locale"] == "C"
+        assert captured["files"] == ["file.iq"]
+        assert captured["pkt_samples"] == 480
+
+    def test_aprsfeed_h_is_host(self):
+        # main() parses -h as host then tries the multicast socket; use a
+        # loopback group so setup succeeds, dry-run so no TCP, and feed
+        # no packets by running parse-only via --help fallback: instead
+        # assert the parser wiring directly.
+        import inspect
+        from ka9q_sdr_tpu.apps import aprsfeed
+
+        src = inspect.getsource(aprsfeed.main)
+        assert '"-h", "-H", "--host"' in src
+        assert "add_help=False" in src
