@@ -158,29 +158,30 @@ def main():
     # Headline: FM with the PL-tone chain ON (the reference's full FM
     # path), long-block geometry, plain per-block stepping (no scan:
     # dispatch is <2% of a 60 ms block)
-    sps, p50, p99 = _measure(
-        "FM", n_channels, samprate, L, M, warmup,
-        max(8, iters // 2), enable_pl=True, use_scan=False,
-    )
-    value = n_channels * sps / 1e6            # channels x Msps
-    baseline = 0.192                          # 1 ch x 0.192 Msps per CPU core
-    print(
-        json.dumps(
-            {
-                "metric": "channels_x_Msps_demodulated_per_chip",
-                "value": round(value, 3),
-                "unit": "ch*Msps",
-                "vs_baseline": round(value / baseline, 1),
-            }
+    if n_channels > 0:        # BENCH_CHANNELS=0 -> measure other rows only
+        sps, p50, p99 = _measure(
+            "FM", n_channels, samprate, L, M, warmup,
+            max(8, iters // 2), enable_pl=True, use_scan=False,
         )
-    )
-    print(
-        f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank "
-        f"(long blocks, L={L}): {sps/1e6:.2f} Msps achieved "
-        f"({sps/samprate:.2f}x realtime), "
-        f"round-trip p50 {p50:.2f} ms / p99 {p99:.2f} ms",
-        file=sys.stderr,
-    )
+        value = n_channels * sps / 1e6        # channels x Msps
+        baseline = 0.192                      # 1 ch x 0.192 Msps per CPU core
+        print(
+            json.dumps(
+                {
+                    "metric": "channels_x_Msps_demodulated_per_chip",
+                    "value": round(value, 3),
+                    "unit": "ch*Msps",
+                    "vs_baseline": round(value / baseline, 1),
+                }
+            )
+        )
+        print(
+            f"# FM+PL {n_channels} ch x {samprate/1e6:.3f} Msps bank "
+            f"(long blocks, L={L}): {sps/1e6:.2f} Msps achieved "
+            f"({sps/samprate:.2f}x realtime), "
+            f"round-trip p50 {p50:.2f} ms / p99 {p99:.2f} ms",
+            file=sys.stderr,
+        )
 
     # Serving row: the Opus-friendly 20 ms cadence at the widest channel
     # count with comfortable realtime margin — "N simultaneous 48 kHz FM
@@ -207,7 +208,7 @@ def main():
     # input sample).  The 20 ms row above amortises dispatch over
     # 8-block scan chunks; the k=1 row here isolates the per-dispatch
     # cost at the same geometry.
-    if frontier and ref_L > 0:
+    if frontier and ref_L > 0 and n_channels > 0:
         sps_k1, _, _ = _measure(
             "FM", n_channels, samprate, ref_L, M, warmup, iters,
             enable_pl=True, use_scan=False, measure_latency=False,
