@@ -161,19 +161,21 @@ class GoldenFM:
 
 
 class GoldenLinear:
-    """demod_linear without PLL (linear.c:247-300): per-sample AGC, mono."""
+    """demod_linear without PLL (linear.c:247-300): per-sample AGC; mono
+    sends I only, stereo sends I left / Q right (linear.c:291-300)."""
 
     def __init__(self, dsamprate, headroom_db=-15.0, recovery_db_s=6.0,
-                 hangtime_s=1.1):
+                 hangtime_s=1.1, mono=True):
         samptime = 1.0 / dsamprate
         self.recovery = F32(10 ** (recovery_db_s * samptime / 20.0))
         self.hangmax = int(hangtime_s / samptime)
         self.headroom = F32(10 ** (headroom_db / 20.0))
         self.gain = F32(10 ** (100 / 20.0))
         self.hang = 0
+        self.mono = mono
 
     def demod(self, bb):
-        out = np.empty(len(bb), F32)
+        out = np.empty(len(bb) if self.mono else (len(bb), 2), F32)
         for n, s in enumerate(bb):
             amplitude = F32(np.sqrt(s.real * s.real + s.imag * s.imag))
             if amplitude * self.gain > self.headroom:      # linear.c:271
@@ -183,7 +185,11 @@ class GoldenLinear:
                 self.hang -= 1
             else:
                 self.gain = F32(self.gain * self.recovery)
-            out[n] = F32(s.real * self.gain)               # mono = I
+            if self.mono:
+                out[n] = F32(s.real * self.gain)           # mono = I
+            else:
+                out[n, 0] = F32(s.real * self.gain)        # I on left
+                out[n, 1] = F32(s.imag * self.gain)        # Q on right
         return out
 
 
@@ -198,10 +204,12 @@ class GoldenReceiver:
         self.master = GoldenMaster(L, M)
         decimate = samprate // 48000
         dsr = samprate / decimate
+        out_type = FilterType.CROSS_CONJ if md.isb else FilterType.COMPLEX
         spec = SlaveSpec(MasterSpec(L, M, FilterType.COMPLEX), decimate,
-                         FilterType.COMPLEX)
+                         out_type)
         resp = set_filter_response(spec, md.low / dsr, md.high / dsr, 3.0)
-        self.slave = GoldenSlave(self.master, resp, decimate)
+        slave_cls = GoldenSlaveCrossConj if md.isb else GoldenSlave
+        self.slave = slave_cls(self.master, resp, decimate)
         self.lo2_freq = -freq / samprate    # cycles/sample
         self.lo2_phase = 0.0                # float64 phasor (osc.c)
         if md.demod == "AM":
@@ -216,10 +224,12 @@ class GoldenReceiver:
             self.demod = GoldenLinearPLL(
                 dsr, L // decimate, square=md.square,
                 recovery_db_s=md.recovery_rate, hangtime_s=md.hangtime,
+                mono=(md.channels == 1),
             )
         else:
             self.demod = GoldenLinear(dsr, recovery_db_s=md.recovery_rate,
-                                      hangtime_s=md.hangtime)
+                                      hangtime_s=md.hangtime,
+                                      mono=(md.channels == 1))
 
     def process(self, iq):
         n = len(iq)
