@@ -121,7 +121,33 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters,
     return sps, p50, p99
 
 
+def _watchdog():
+    """Self-exit after BENCH_DEADLINE_S (default 90 min, 0 disables).
+
+    The axon tunnel has a failure mode where a device op hangs a client
+    for 25+ minutes (CLAUDE.md "terminal outage"); an unattended bench
+    run must not hang forever on it.  A healthy full run (cold compiles
+    included) finishes well inside the default."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+    if deadline <= 0:
+        return
+    import threading
+
+    def boom():
+        print(
+            f"# bench watchdog: {deadline:.0f}s deadline hit — aborting "
+            "(TPU-tunnel wedge protection; BENCH_DEADLINE_S=0 disables)",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(deadline, boom)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _watchdog()
     # Measured sweet spots (slope method, real chip): the per-channel
     # work dominates and the wideband FFT is nearly free, so go WIDE
     # (393.216 Msps master) and go LONG — overlap-save with L = 6.5(M-1)
