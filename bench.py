@@ -12,7 +12,9 @@ The headline row is the FULL reference FM workload — PL tone detection on
 second stderr row measures the heaviest mode, a PLL (CAM) bank.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; extra
-rows go to stderr as comments.
+rows go to stderr as comments.  (BENCH_CHANNELS=0 — a probe-only mode for
+measuring the other rows in isolation — skips the flagship row and with it
+the stdout JSON line; the default run always prints it.)
 """
 
 import json

@@ -121,11 +121,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     from ..utils.misc import set_locale
     set_locale(args.locale)
-    if args.pkt_samples > 2048:
-        # one read = one datagram; receivers here use recvfrom(9000)
-        print(f"iqplay: -b {args.pkt_samples} capped to 2048 samples "
+    if not 1 <= args.pkt_samples <= 2048:
+        # one read = one datagram; receivers here use recvfrom(9000).
+        # Also guards <=0: read(-4) would slurp the whole file into one
+        # (unsendable) datagram and 0 would loop sending nothing.
+        clamped = min(max(args.pkt_samples, 1), 2048)
+        print(f"iqplay: -b {args.pkt_samples} clamped to {clamped} samples "
               "(8 KiB datagrams)", file=sys.stderr)
-        args.pkt_samples = 2048
+        args.pkt_samples = clamped
 
     if args.native:
         return native_main(args)

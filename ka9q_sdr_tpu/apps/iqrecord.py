@@ -77,10 +77,11 @@ def main(argv=None) -> int:
                     multicast=args.input,
                 )
                 sessions[key] = rec
-            rec.write_packet(hdr, payload)
+            written = rec.write_packet(hdr, payload)
             n += 1
-            frame = IQRecorder.frame_bytes(hdr.type)
-            t_rec += (len(payload) // frame) / rec.samprate
+            # count only frames that landed on disk: duplicates are dropped
+            # (not rewritten like iqrecord.c:300), so -d must not count them
+            t_rec += written / rec.samprate
             if args.duration and t_rec >= args.duration:
                 return 0
             if args.packets and n >= args.packets:

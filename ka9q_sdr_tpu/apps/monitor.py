@@ -142,14 +142,11 @@ def main(argv=None) -> int:
                    help="interactive session mixer (gain/pan/mute) on "
                         "/dev/tty; the PCM stream keeps stdout")
     args = p.parse_args(argv)
-    if args.list_audio:
-        print("no audio devices in this target; the mixed 48 kHz stereo "
-              "s16 stream goes to stdout (pipe to aplay or a file)",
-              file=sys.stderr)
+    from ..utils.misc import audio_device_notice
+    if audio_device_notice("monitor", args.list_audio, args.audiodev,
+                           "output", "the mixed 48 kHz stereo s16 stream "
+                           "goes to stdout (pipe to aplay or a file)"):
         return 0
-    if args.audiodev:
-        print(f"monitor: audio device {args.audiodev!r} n/a in this "
-              "target; writing s16 to stdout", file=sys.stderr)
     groups = list(args.groups) + list(args.groups_opt)
     if not groups:
         p.error("need at least one multicast group (positional or -I)")

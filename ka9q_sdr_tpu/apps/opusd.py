@@ -26,7 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--bitrate", type=int, default=32000)  # opus.c:59
     p.add_argument("-B", "--frame-ms", type=float, default=20.0)
     p.add_argument("-x", "--dtx", action="store_true")
-    p.add_argument("-f", "--fec", action="store_true")
+    p.add_argument("-f", "--fec", type=int, default=0, metavar="LOSS_PC",
+                   help="enable inband FEC for an expected packet-loss "
+                        "percentage (opus.c:95-96,232-239)")
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("-v", "--verbose", action="store_true",
                    help="accepted for reference compatibility (opus.c -v)")

@@ -29,7 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--bitrate", type=int, default=32000)
     p.add_argument("-B", "--frame-ms", type=float, default=20.0)
     p.add_argument("-x", "--dtx", action="store_true")
-    p.add_argument("-f", "--fec", action="store_true")
+    p.add_argument("-f", "--fec", type=int, default=0, metavar="LOSS_PC",
+                   help="enable inband FEC for an expected packet-loss "
+                        "percentage (opussend.c:113-114,239-246)")
     p.add_argument("-T", "--ttl", type=int, default=1)
     p.add_argument("--fast", action="store_true")
     p.add_argument("-I", dest="audiodev", default=None,
@@ -40,13 +42,10 @@ def main(argv=None) -> int:
     p.add_argument("-v", "--verbose", action="store_true",
                    help="accepted for reference compatibility")
     args = p.parse_args(argv)
-    if args.list_audio:
-        print("no audio capture devices in this target; pipe s16 audio "
-              "to stdin", file=sys.stderr)
+    from ..utils.misc import audio_device_notice
+    if audio_device_notice(p.prog, args.list_audio, args.audiodev,
+                           "capture", "s16 audio comes from stdin"):
         return 0
-    if args.audiodev:
-        print(f"{p.prog}: capture device {args.audiodev!r} n/a; reading "
-              "stdin", file=sys.stderr)
 
     if not OPUS_AVAILABLE:
         print("libopus not available", file=sys.stderr)

@@ -37,13 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("-v", "--verbose", action="store_true",
                    help="accepted for reference compatibility")
     args = p.parse_args(argv)
-    if args.list_audio:
-        print("no audio capture devices in this target; pipe s16 audio "
-              "to stdin", file=sys.stderr)
+    from ..utils.misc import audio_device_notice
+    if audio_device_notice(p.prog, args.list_audio, args.audiodev,
+                           "capture", "s16 audio comes from stdin"):
         return 0
-    if args.audiodev:
-        print(f"{p.prog}: capture device {args.audiodev!r} n/a; reading "
-              "stdin", file=sys.stderr)
 
     sock = setup_mcast(args.output, output=True, ttl=args.ttl)
     out = PCMOutput(send=sock.send, ssrc=int(time.time()) & 0xFFFFFFFF)

@@ -68,8 +68,10 @@ class OpusEncoder:
         channels: int = 2,
         bitrate: int = 32000,
         dtx: bool = False,
-        fec: bool = False,
+        fec: int = 0,
     ):
+        # fec is the expected packet-loss percentage (opus.c:62,232-239):
+        # nonzero enables inband FEC and sets OPUS_SET_PACKET_LOSS_PERC.
         if not OPUS_AVAILABLE:
             raise OpusError("libopus not available")
         err = ctypes.c_int()
@@ -83,8 +85,12 @@ class OpusEncoder:
                               ctypes.c_int(bitrate))
         _lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), OPUS_SET_DTX,
                               ctypes.c_int(int(dtx)))
-        _lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), OPUS_SET_INBAND_FEC,
-                              ctypes.c_int(int(fec)))
+        if fec:
+            _lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
+                                  OPUS_SET_INBAND_FEC, ctypes.c_int(1))
+            _lib.opus_encoder_ctl(ctypes.c_void_p(self._enc),
+                                  OPUS_SET_PACKET_LOSS_PERC,
+                                  ctypes.c_int(int(fec)))
 
     def encode(self, pcm: np.ndarray) -> bytes:
         """pcm: (frames, channels) float32.  Returns the Opus packet (may be

@@ -40,7 +40,7 @@ class OpusSession:
         bitrate: int = 32000,
         frame_ms: float = 20.0,
         dtx: bool = False,
-        fec: bool = False,
+        fec: int = 0,       # expected loss %, 0 = FEC off (opus.c:62)
     ):
         if frame_ms not in LEGAL_FRAMES_MS:
             raise ValueError(f"illegal Opus frame {frame_ms} ms")

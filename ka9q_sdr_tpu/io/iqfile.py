@@ -78,7 +78,7 @@ class IQRecorder:
     def _open(self, rtp: RTPHeader) -> None:
         channels = 1 if rtp.type == PCM_MONO_PT else 2
         if self.filename is None:
-            if rtp.type == IQ_PT:
+            if rtp.type in (IQ_PT, IQ_PT8):
                 self.filename = f"iqrecord-{self.frequency:.1f}Hz-{rtp.ssrc:x}"
             else:
                 self.filename = f"pcmrecord-{rtp.ssrc:x}"
@@ -90,8 +90,11 @@ class IQRecorder:
             "ssrc": f"{rtp.ssrc:x}",
             "unixstarttime": f"{time.time():.6f}",
         }
-        if rtp.type == IQ_PT:
-            attrs["sampleformat"] = "s16le"
+        if rtp.type in (IQ_PT, IQ_PT8):
+            # The reference's switch has no IQ_PT8 case (iqrecord.c:267-280
+            # would leave 8-bit sessions undescribed); we extend the same
+            # attr scheme so IQReader can decode the narrower samples.
+            attrs["sampleformat"] = "s16le" if rtp.type == IQ_PT else "s8"
             attrs["frequency"] = f"{self.frequency:.3f}"
         else:
             attrs["sampleformat"] = "s16be"
@@ -113,7 +116,10 @@ class IQRecorder:
             return 2            # 2 ch x s8
         return 4                # IQ s16 pairs / PCM stereo
 
-    def write_packet(self, rtp: RTPHeader, payload: bytes) -> None:
+    def write_packet(self, rtp: RTPHeader, payload: bytes) -> int:
+        """Returns the number of sample frames written to disk (0 when the
+        packet is dropped as a duplicate) so callers accounting recorded
+        stream time count only what actually landed in the file."""
         if self._fp is None:
             self._open(rtp)
         frame = self.frame_bytes(rtp.type)
@@ -122,11 +128,12 @@ class IQRecorder:
         if offset < 0:
             # duplicates still get written at the right place in the
             # reference (offset seek backward); negative here means dupe
-            return
+            return 0
         if offset:
             # leave a hole: sparse file preserves timing (iqrecord.c:301)
             self._fp.seek(offset * frame, os.SEEK_CUR)
         self._fp.write(payload)
+        return sample_count
 
     def close(self) -> None:
         if self._fp:
@@ -146,18 +153,23 @@ class IQReader:
         self.attrs = read_metadata(path)
         self.samprate = samprate or int(self.attrs.get("samplerate", 192000))
         self.frequency = float(self.attrs.get("frequency", 0.0))
+        self.sampleformat = self.attrs.get("sampleformat", "s16le")
 
     def blocks(self, block_len: int, loop: bool = False):
-        scale = 1.0 / 32767.0
+        if self.sampleformat == "s8":       # 8-bit I/Q (RTP PT 98)
+            dtype, scale = "i1", 1.0 / 127.0
+        else:
+            dtype, scale = "<i2", 1.0 / 32767.0
+        frame = 2 * np.dtype(dtype).itemsize
         with open(self.path, "rb") as f:
             while True:
-                raw = f.read(block_len * 4)
+                raw = f.read(block_len * frame)
                 if not raw:
                     if loop:
                         f.seek(0)
                         continue
                     return
-                x = np.frombuffer(raw, "<i2").astype(np.float32) * scale
+                x = np.frombuffer(raw, dtype).astype(np.float32) * scale
                 if len(x) < block_len * 2:
                     x = np.pad(x, (0, block_len * 2 - len(x)))
                 yield x[0::2] + 1j * x[1::2]

@@ -12,9 +12,28 @@ __all__ = [
     "power2db",
     "db2power",
     "set_locale",
+    "audio_device_notice",
     "GPS_UTC_OFFSET",
     "UNIX_EPOCH_GPS",
 ]
+
+
+def audio_device_notice(prog: str, list_audio: bool, audiodev: str | None,
+                        role: str, sink: str) -> bool:
+    """Shared handling of the reference's portaudio -L/-I/-R device flags
+    (pcmsend.c/opussend.c -I -L, monitor.c -R -L) for a target with no
+    audio hardware: -L lists nothing and explains the stdin/stdout sink,
+    a named device prints a notice and falls back to it.  Returns True
+    when -L was handled (caller exits 0)."""
+    import sys
+    if list_audio:
+        print(f"no audio {role} devices in this target; {sink}",
+              file=sys.stderr)
+        return True
+    if audiodev:
+        print(f"{prog}: audio {role} device {audiodev!r} n/a in this "
+              f"target; {sink}", file=sys.stderr)
+    return False
 
 
 def set_locale(name: str | None) -> None:

@@ -344,6 +344,45 @@ class TestIQRecorderFrameSizes:
         size = os.path.getsize(rec.path)
         assert size == (100 + 50 + 100) * 2
 
+    def test_iq8_session_metadata_and_replay(self, tmp_path):
+        """An 8-bit I/Q session must be described as what it is: s8
+        sampleformat, frequency attr, iqrecord- filename (regression:
+        it fell into the PCM branch and was recorded as 's16be' with a
+        pcmrecord- name, so replay decoded garbage), and IQReader must
+        decode it from the attr."""
+        import os
+
+        import numpy as np
+
+        from ka9q_sdr_tpu.io.iqfile import IQRecorder, IQReader, read_metadata
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT8
+
+        rec = IQRecorder(directory=str(tmp_path), frequency=146520000.0,
+                         samprate=192000)
+        # 100 samples of a known s8 ramp on I, constant on Q
+        iq = np.zeros((100, 2), np.int8)
+        iq[:, 0] = np.arange(-50, 50, dtype=np.int8)
+        iq[:, 1] = 64
+        written = rec.write_packet(
+            RTPHeader(type=IQ_PT8, seq=0, timestamp=0, ssrc=9),
+            iq.tobytes())
+        assert written == 100
+        # a duplicate writes nothing and reports 0 frames
+        assert rec.write_packet(
+            RTPHeader(type=IQ_PT8, seq=0, timestamp=0, ssrc=9),
+            iq.tobytes()) == 0
+        rec.close()
+        assert os.path.basename(rec.path).startswith("iqrecord-146520000")
+        attrs = read_metadata(rec.path)
+        assert attrs["sampleformat"] == "s8"
+        assert float(attrs["frequency"]) == 146520000.0
+        blocks = list(IQReader(rec.path).blocks(100))
+        assert len(blocks) == 1
+        np.testing.assert_allclose(blocks[0].real, iq[:, 0] / 127.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(blocks[0].imag, iq[:, 1] / 127.0,
+                                   atol=1e-6)
+
 
 class TestIQRecordDuration:
     def test_d_stops_after_stream_seconds(self, am_recording, tmp_path):
@@ -381,9 +420,11 @@ class TestIQRecordDuration:
         recs = [f for f in os.listdir(rec_dir) if not f.endswith(".attrs")]
         assert len(recs) == 1
         # 0.05 s at 192 kHz x 4 B: the recorder stopped at ~the bound,
-        # not at EOF of the 0.5 s feed
+        # not at EOF of the (up to) 10 s feed.  The upper bound is loose:
+        # loopback loss under load leaves sparse holes that add file size
+        # without adding recorded (-d-counted) stream time.
         size = os.path.getsize(os.path.join(rec_dir, recs[0]))
-        assert 0.05 * 192000 * 4 <= size < 0.10 * 192000 * 4
+        assert 0.05 * 192000 * 4 <= size < 0.25 * 192000 * 4
 
 
 class TestCustomModesFile:
@@ -870,6 +911,58 @@ class TestReferenceFlagSurface:
             ["-f", "147m435", "-l", "C", "-t", "4", "-u", "100",
              "--iq-file", "x.iq"])
         assert a.locale == "C" and a.fft_threads == 4
+
+    def test_opus_fec_takes_loss_percentage(self):
+        """Reference -f is numeric: the expected packet-loss percentage
+        (opus.c:95-96 'Fec = strtol(optarg)'), not a boolean (regression:
+        store_true made 'opusd -f 20' an argparse error).  The value must
+        reach the encoder and enable inband FEC."""
+        import argparse
+
+        from ka9q_sdr_tpu.apps import opusd, opussend
+
+        for mod, flags in ((opusd, ["-I", "g:1", "-R", "g:2"]),
+                           (opussend, ["-R", "g:2"])):
+            captured = {}
+            real_parse = argparse.ArgumentParser.parse_args
+
+            def spy(self, argv=None, ns=None):
+                a = real_parse(self, argv, ns)
+                captured.update(vars(a))
+                raise SystemExit(0)
+
+            argparse.ArgumentParser.parse_args = spy
+            try:
+                with pytest.raises(SystemExit):
+                    mod.main(flags + ["-f", "20"])
+            finally:
+                argparse.ArgumentParser.parse_args = real_parse
+            assert captured["fec"] == 20, mod.__name__
+
+        from ka9q_sdr_tpu.audio.opus_codec import OPUS_AVAILABLE, OpusEncoder
+        if OPUS_AVAILABLE:
+            OpusEncoder(48000, 2, 32000, fec=20)   # ctl path must not raise
+
+    def test_iqplay_pkt_samples_clamped(self, tmp_path, monkeypatch):
+        """-b is clamped to [1, 2048]: a negative value must not slurp the
+        whole file into one unsendable datagram (read(-4)), and 0 must not
+        spin sending nothing."""
+        from ka9q_sdr_tpu.apps import iqplay
+
+        rec = tmp_path / "x.iq"
+        rec.write_bytes(bytes(4 * 3000))           # 3000 s16 IQ samples
+
+        sent = []
+
+        class FakeSock:
+            def send(self, d):
+                sent.append(len(d))
+
+        monkeypatch.setattr(iqplay, "setup_mcast",
+                            lambda *a, **k: FakeSock())
+        rc = iqplay.main(["-R", "g:1", "-b", "-1", "--fast", str(rec)])
+        assert rc == 0
+        assert sent and all(n <= 12 + 2048 * 4 for n in sent)
 
     def test_iqplay_locale_vs_loop(self):
         """-l takes the locale VALUE (iqplay.c:143); the file stays
