@@ -107,7 +107,7 @@ def main(argv=None) -> int:
             continue
         frame = ax25_parse(data[off:])
         ok, why = should_relay(frame)
-        mon = frame_to_tnc2(frame) if frame else ""
+        mon = frame_to_tnc2(frame, qcall=args.user) if frame else ""
         if logf is not None:
             print(f" {mon}" if ok else f" Not relaying: {why}", file=logf)
         if not ok:

@@ -87,7 +87,12 @@ def afsk_modulate(frame: bytes, amplitude: float = 0.5) -> np.ndarray:
     deframer's transition=zero convention, packet.c:332-407).  Tone
     switching is phase-continuous.
     """
-    bits = hdlc_encode(frame)
+    return modulate_bits(hdlc_encode(frame), amplitude)
+
+
+def modulate_bits(bits: list[int], amplitude: float = 0.5) -> np.ndarray:
+    """NRZI/AFSK-modulate a raw HDLC bit stream (for tests that need
+    malformed streams: runts, aborts, shared-zero flags)."""
     tone = 1200.0
     phase = 0.0
     out = np.empty(len(bits) * SAMPPBIT, np.float32)
@@ -121,12 +126,10 @@ class AFSKDemodulator:
         self.space_off = 0j
         self.last_val = 0.0
         self.mid_val = 0.0
-        # pending mixdown samples not yet consumed by the bit loop
-        self.pend_mark = np.zeros(0, np.complex64)
-        self.pend_space = np.zeros(0, np.complex64)
 
         # HDLC state (packet.c:296-300)
         self.frame = bytearray(MAX_FRAME)
+        self._frame_zeros = bytes(MAX_FRAME)
         self.frame_bit = 0
         self.flagsync = False
         self.ones = 0
@@ -163,21 +166,18 @@ class AFSKDemodulator:
             k = n0 + np.arange(L)
             mark_lo = np.exp(2j * np.pi * (MARK / SAMPRATE) * k)
             space_lo = np.exp(2j * np.pi * (SPACE / SAMPRATE) * k)
-            self.pend_mark = np.concatenate(
-                [self.pend_mark, (analytic * mark_lo).astype(np.complex64)]
-            )
-            self.pend_space = np.concatenate(
-                [self.pend_space, (analytic * space_lo).astype(np.complex64)]
-            )
-            self._bit_loop()
+            # _bit_loop drains its input fully (the partial-symbol tail is
+            # integrated into the accumulators), so nothing carries over.
+            self._bit_loop((analytic * mark_lo).astype(np.complex64),
+                           (analytic * space_lo).astype(np.complex64))
         return self.frames
 
     # ---- integrate & dump / clock recovery (packet.c:305-334) ----
 
-    def _bit_loop(self) -> None:
-        csm = np.concatenate([[0], np.cumsum(self.pend_mark)])
-        css = np.concatenate([[0], np.cumsum(self.pend_space)])
-        n = len(self.pend_mark)
+    def _bit_loop(self, mark: np.ndarray, space: np.ndarray) -> None:
+        csm = np.concatenate([[0], np.cumsum(mark)])
+        css = np.concatenate([[0], np.cumsum(space)])
+        n = len(mark)
         i = 0
         while True:
             target = HALF if self.symphase < HALF else SAMPPBIT
@@ -211,8 +211,6 @@ class AFSKDemodulator:
             self.mark_off += rem_m
             self.space_off += rem_s
             self.symphase += n - i
-        self.pend_mark = np.zeros(0, np.complex64)
-        self.pend_space = np.zeros(0, np.complex64)
 
     # ---- NRZI / HDLC (packet.c:332-407) ----
 
@@ -255,7 +253,10 @@ class AFSKDemodulator:
         self.last_val = cur_val
 
     def _reset_frame(self) -> None:
-        for i in range((self.frame_bit // 8) + 1):
-            if i < MAX_FRAME:
-                self.frame[i] = 0
+        # Full clear like the reference's memset (packet.c:380,397): this
+        # runs AFTER the flag path's `frame_bit -= 7`, so a partial clear
+        # bounded by frame_bit leaves stale 1-bits (or, when frame_bit
+        # went negative on shared-zero flags, clears nothing) that OR
+        # into — and CRC-kill — the next valid frame.
+        self.frame[:] = self._frame_zeros
         self.frame_bit = 0

@@ -74,6 +74,11 @@ def look_angles(
     sx, sy, sz = station.xyz
     lx, ly, lz = tx - sx, ty - sy, tz - sz
     rng = math.sqrt(lx * lx + ly * ly + lz * lz)
+    if rng == 0.0:
+        # target coincides with the station: the C's 0.0/0.0 yields nan
+        # ("az nan") and keeps running (aprs.c:257-261); Python would
+        # raise ZeroDivisionError and kill the daemon's receive loop
+        return float("nan"), float("nan"), 0.0
     dot = lambda a: (a[0] * lx + a[1] * ly + a[2] * lz) / rng
     south = dot(station.south)
     east = dot(station.east)
@@ -123,13 +128,15 @@ def parse_position(data: str):
     if m.group(2).lower() == "s":
         lat = -lat
     data = data[m.end():]
-    m = re.match(r"(\d+(?:\.\d+)?)([EeWw])", data)
+    m = re.match(r"(\d+(?:\.\d+)?)([EeWw]).?", data, re.DOTALL)
     if not m:
         return None, lat, lon, alt
     v = float(m.group(1)) / 100.0
     lon = int(v) + math.fmod(v, 1.0) / 0.6
     if m.group(2).lower() == "w":
         lon = -lon
+    # the reference skips the symbol-table char after W/E too
+    # (aprs.c:339 "data = ncp + 2"), so the A= scan starts past it
     data = data[m.end():]
     # scan for A=xxxxxx altitude in feet (aprs.c:341-347)
     am = re.search(r"A=(-?\d+)", data)

@@ -46,7 +46,10 @@ def encode_callsign(call: str, last: bool = False, h: bool = False) -> bytes:
     base = base.upper().ljust(6)[:6]
     out = bytes((ord(c) << 1) for c in base)
     last_bit = 1 if last else 0
-    return out + bytes([((ssid & 0xF) << 1) | last_bit | (0x80 if h else 0x60)])
+    # reserved bits 5-6 are always set on air; 0x80 additionally marks
+    # has-been-repeated (the h bit)
+    return out + bytes(
+        [((ssid & 0xF) << 1) | last_bit | 0x60 | (0x80 if h else 0)])
 
 
 def crc_good(frame: bytes) -> bool:
@@ -131,11 +134,23 @@ def ax25_parse(data: bytes) -> AX25Frame | None:
     return out
 
 
-def frame_to_tnc2(frame: AX25Frame) -> str:
-    """AX.25 -> TNC2 monitor string "SRC>DST,DIGI*,DIGI:info" as sent to
-    APRS-IS (aprsfeed.c:199-239)."""
+def frame_to_tnc2(frame: AX25Frame, qcall: str | None = None) -> str:
+    """AX.25 -> TNC2 monitor string "SRC>DST,DIGI*,DIGI[,qAO,CALL]:info"
+    as sent to APRS-IS (aprsfeed.c:199-239).
+
+    `qcall` appends the reference's receive-only q-construct ",qAO,CALL"
+    (aprsfeed.c:222-224) identifying the i-gate.  The info field gets the
+    reference's exact character filter: parity stripped (c & 0x7f) and
+    CR/LF/NUL dropped ANYWHERE (aprsfeed.c:228-236) — APRS-IS is a
+    line-oriented protocol, so an embedded newline would let an RF frame
+    inject a second, forged packet into the upload."""
     path = frame.source + ">" + frame.dest
     for name, h in frame.digipeaters:
         path += "," + name + ("*" if h else "")
-    info = frame.information.decode("ascii", "replace").rstrip("\r\n")
+    if qcall:
+        path += ",qAO," + qcall
+    info = "".join(
+        c for c in (chr(b & 0x7F) for b in frame.information)
+        if c not in ("\r", "\n", "\0")
+    )
     return path + ":" + info

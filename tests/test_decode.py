@@ -15,7 +15,12 @@ from ka9q_sdr_tpu.decode.ax25 import (
     decode_base91,
     frame_to_tnc2,
 )
-from ka9q_sdr_tpu.decode.afsk import AFSKDemodulator, afsk_modulate
+from ka9q_sdr_tpu.decode.afsk import (
+    AFSKDemodulator,
+    afsk_modulate,
+    hdlc_encode,
+    modulate_bits,
+)
 from ka9q_sdr_tpu.decode.aprs import (
     Station,
     look_angles,
@@ -64,6 +69,38 @@ class TestAX25:
         # '<*e7' from the APRS spec compressed-position example:
         # 27*91^3 + 9*91^2 + 68*91 + 22
         assert decode_base91("<*e7") == 20427156
+
+    def test_tnc2_strips_injection_and_parity(self):
+        """Info chars are filtered exactly like aprsfeed.c:228-236:
+        parity stripped (c & 0x7f) and CR/LF/NUL dropped ANYWHERE —
+        an embedded newline must not let an RF frame inject a second
+        line (= a forged packet) into the line-oriented APRS-IS feed."""
+        f = build_ui_frame(
+            src="N0CALL", dst="APRS",
+            info=b"hi\r\nN0CALL-2>APRS:forged\x00\xc1!")
+        s = frame_to_tnc2(ax25_parse(f))
+        assert s == "N0CALL>APRS:hiN0CALL-2>APRS:forgedA!"
+        assert "\r" not in s and "\n" not in s and "\0" not in s
+
+    def test_tnc2_qconstruct(self):
+        """qcall appends the reference's receive-only i-gate q-construct
+        ',qAO,CALL' after the digipeater path (aprsfeed.c:222-224)."""
+        f = build_ui_frame(src="N0CALL", dst="APRS", digis=("WIDE1-1",),
+                           info=b"!x")
+        s = frame_to_tnc2(ax25_parse(f), qcall="MYGATE-10")
+        assert s == "N0CALL>APRS,WIDE1-1,qAO,MYGATE-10:!x"
+
+    def test_encode_callsign_reserved_bits(self):
+        """The SSID byte's reserved bits 5-6 are set on air whether or
+        not the has-been-repeated bit is (regression: h=True dropped
+        0x60, diverging from every real TNC's framing)."""
+        assert encode_callsign("WIDE1-1")[6] == (1 << 1) | 0x60
+        assert encode_callsign("WIDE1-1", h=True)[6] == (1 << 1) | 0xE0
+        # and the h bit round-trips through the parser
+        f = build_ui_frame(digis=("WIDE1-1",))
+        hdr = f[:7 * 2] + encode_callsign("WIDE1-1", last=True, h=True)
+        p = ax25_parse(append_crc(hdr + bytes([0x03, 0xF0]) + b"x"))
+        assert p.digipeaters == [("WIDE1-1", True)]
 
 
 class TestAFSK:
@@ -114,6 +151,34 @@ class TestAFSK:
         got = AFSKDemodulator().process(pcm2)
         assert frame in got
 
+    def test_frame_after_runt_decodes(self):
+        """A noise runt between flags must not corrupt the NEXT frame
+        (regression: _reset_frame ran after `frame_bit -= 7` and cleared
+        only up to the reduced bit count, leaving stale 1-bits that ORed
+        into — and CRC-killed — the following valid frame; the reference
+        memsets the whole buffer, packet.c:380,397)."""
+        frame = build_ui_frame(info=b"survives the runt")
+        flag = [0, 1, 1, 1, 1, 1, 1, 0]
+        runt = flag * 5 + [1, 0, 1] + hdlc_encode(frame)
+        pcm = np.concatenate([np.zeros(4000, np.float32),
+                              modulate_bits(runt),
+                              np.zeros(8000, np.float32)])
+        got = AFSKDemodulator().process(pcm)
+        assert frame in got
+
+    def test_frame_after_shared_zero_flags_decodes(self):
+        """Back-to-back flags sharing the boundary zero (0111111 0 111111 0,
+        legal HDLC) drive frame_bit negative at the flag detect; the old
+        partial clear then cleared NOTHING."""
+        frame = build_ui_frame(info=b"shared zero flags")
+        shared = [0] + [1, 1, 1, 1, 1, 1, 0] * 6      # flags sharing zeros
+        bits = shared + hdlc_encode(frame)
+        pcm = np.concatenate([np.zeros(4000, np.float32),
+                              modulate_bits(bits),
+                              np.zeros(8000, np.float32)])
+        got = AFSKDemodulator().process(pcm)
+        assert frame in got
+
 
 class TestAPRS:
     def test_timestamp(self):
@@ -159,6 +224,25 @@ class TestAPRS:
         assert abs(az - 90.0) < 1.0
         assert el < 0  # over the horizon curve
         assert 100e3 < rng < 120e3
+
+    def test_look_angles_coincident_target(self):
+        """A beacon at the station's own coordinates yields nan angles
+        like the C's 0.0/0.0 (aprs.c:257-261), not ZeroDivisionError
+        (which killed the aprs daemon's receive loop)."""
+        st = Station(latitude=32.0, longitude=-117.0, altitude=100.0)
+        az, el, rng = look_angles(st, 32.0, -117.0, 100.0)
+        assert math.isnan(az) and math.isnan(el) and rng == 0.0
+
+    def test_position_symbol_char_not_scanned_for_altitude(self):
+        """The char after W/E is the symbol-table entry and is skipped
+        before the A= scan (aprs.c:339 'data = ncp + 2'): a symbol 'A'
+        followed by a comment starting '=' is NOT an altitude."""
+        rest, lat, lon, alt = parse_position("4903.50N/07201.75WA=023456x")
+        assert math.isnan(alt)
+        assert rest == "=023456x"
+        # a real A= past the symbol char still parses
+        _, _, _, alt2 = parse_position("4903.50N/07201.75W>cmt A=001000")
+        assert abs(alt2 - 1000 * 0.3048) < 0.1
 
     def test_passcode(self):
         from ka9q_sdr_tpu.apps.aprsfeed import aprs_passcode
