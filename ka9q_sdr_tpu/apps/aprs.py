@@ -20,7 +20,7 @@ import time
 from ..decode.ax25 import ax25_parse
 from ..decode.aprs import Station, look_angles, parse_aprs
 from ..net.multicast import setup_mcast
-from ..net.rtp import RTPHeader, AX25_PT
+from ..net.rtp import RTPHeader, AX25_PT, rtp_payload
 
 
 def format_report(frame, info: dict, station: Station | None) -> str:
@@ -72,7 +72,7 @@ def main(argv=None) -> int:
                 continue
             if hdr.type != AX25_PT:
                 continue
-            frame = ax25_parse(data[off:])
+            frame = ax25_parse(rtp_payload(hdr, data, off))
             if frame is None:
                 continue
             if args.source and frame.source.upper() != args.source.upper():

@@ -19,7 +19,7 @@ import time
 
 from ..decode.ax25 import ax25_parse, frame_to_tnc2
 from ..net.multicast import setup_mcast
-from ..net.rtp import RTPHeader, AX25_PT
+from ..net.rtp import RTPHeader, AX25_PT, rtp_payload
 
 __all__ = ["main", "aprs_passcode", "should_relay"]
 
@@ -105,7 +105,7 @@ def main(argv=None) -> int:
             continue
         if hdr.type != AX25_PT:
             continue
-        frame = ax25_parse(data[off:])
+        frame = ax25_parse(rtp_payload(hdr, data, off))
         ok, why = should_relay(frame)
         mon = frame_to_tnc2(frame, qcall=args.user) if frame else ""
         if logf is not None:

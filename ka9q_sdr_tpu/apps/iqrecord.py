@@ -17,7 +17,8 @@ import argparse
 import sys
 
 from ..net.multicast import setup_mcast
-from ..net.rtp import RTPHeader, IQ_PT, IQ_PT8, PCM_MONO_PT, PCM_STEREO_PT
+from ..net.rtp import (RTPHeader, rtp_payload, IQ_PT, IQ_PT8,
+                       PCM_MONO_PT, PCM_STEREO_PT)
 from ..net.sdr_header import LegacyStatus, LEGACY_STATUS_SIZE
 from ..io.iqfile import IQRecorder
 
@@ -53,7 +54,7 @@ def main(argv=None) -> int:
                 continue
             if hdr.type not in (IQ_PT, IQ_PT8, PCM_MONO_PT, PCM_STEREO_PT):
                 continue
-            payload = data[off:]
+            payload = rtp_payload(hdr, data, off)
             freq = 0.0
             if hdr.type in (IQ_PT, IQ_PT8):
                 samprate = 192000

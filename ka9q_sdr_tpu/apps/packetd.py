@@ -103,7 +103,7 @@ def main(argv=None) -> int:
                 if sess is None:
                     sess = PacketSession(hdr.ssrc, out_sock.send, args.verbose)
                     sessions[key] = sess
-                sess.feed(hdr, data[off:])
+                sess.feed(hdr, rtp_payload(hdr, data, off))
                 n += 1
                 if args.packets and n >= args.packets:
                     return 0

@@ -15,7 +15,8 @@ import sys
 import numpy as np
 
 from ..net.multicast import setup_mcast
-from ..net.rtp import RTPHeader, RTPState, rtp_process, PCM_MONO_PT, PCM_STEREO_PT
+from ..net.rtp import (RTPHeader, RTPState, rtp_process, rtp_payload,
+                       PCM_MONO_PT, PCM_STEREO_PT)
 
 
 def main(argv=None) -> int:
@@ -50,7 +51,7 @@ def main(argv=None) -> int:
             ssrc = hdr.ssrc          # first SSRC wins (pcmcat.c:117)
         elif hdr.ssrc != ssrc:
             continue
-        payload = data[off:]
+        payload = rtp_payload(hdr, data, off)
         channels = 1 if hdr.type == PCM_MONO_PT else 2
         frames = len(payload) // (2 * channels)
         ts = rtp_process(state, hdr, frames)

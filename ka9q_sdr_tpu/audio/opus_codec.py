@@ -31,8 +31,13 @@ OPUS_SET_BITRATE = 4002
 OPUS_SET_DTX = 4016
 OPUS_SET_INBAND_FEC = 4012
 OPUS_SET_PACKET_LOSS_PERC = 4014
+OPUS_RESET_STATE = 4028
 
 if OPUS_AVAILABLE:
+    _lib.opus_encoder_destroy.restype = None
+    _lib.opus_encoder_destroy.argtypes = [ctypes.c_void_p]
+    _lib.opus_decoder_destroy.restype = None
+    _lib.opus_decoder_destroy.argtypes = [ctypes.c_void_p]
     _lib.opus_encoder_create.restype = ctypes.c_void_p
     _lib.opus_encoder_create.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -107,6 +112,17 @@ class OpusEncoder:
             raise OpusError(f"opus_encode_float: {n}")
         return out.raw[:n]
 
+    def reset(self) -> None:
+        """In-place state reset, like the reference's talk-spurt handling
+        (opus.c:253 OPUS_RESET_STATE) — re-creating an encoder instead
+        would leak its ~27 KB native allocation every squelch re-open."""
+        _lib.opus_encoder_ctl(ctypes.c_void_p(self._enc), OPUS_RESET_STATE)
+
+    def __del__(self):
+        enc, self._enc = getattr(self, "_enc", None), None
+        if enc and _lib is not None:
+            _lib.opus_encoder_destroy(ctypes.c_void_p(enc))
+
 
 class OpusDecoder:
     """48 kHz stereo float decoder (monitor.c:505-517)."""
@@ -134,3 +150,12 @@ class OpusDecoder:
         if n < 0:
             raise OpusError(f"opus_decode_float: {n}")
         return out[:n]
+
+    def reset(self) -> None:
+        """Decoder state reset on talk-spurt start (monitor.c:481-483)."""
+        _lib.opus_decoder_ctl(ctypes.c_void_p(self._dec), OPUS_RESET_STATE)
+
+    def __del__(self):
+        dec, self._dec = getattr(self, "_dec", None), None
+        if dec and _lib is not None:
+            _lib.opus_decoder_destroy(ctypes.c_void_p(dec))

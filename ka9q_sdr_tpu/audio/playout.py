@@ -14,13 +14,13 @@ plus up to 1 ms of interaural delay (monitor.c:435-449).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
 
-from ..net.rtp import RTPHeader, PCM_MONO_PT, PCM_STEREO_PT, OPUS_PT
-from .opus_codec import OPUS_AVAILABLE
+from ..net.rtp import (RTPHeader, rtp_payload, PCM_MONO_PT, PCM_STEREO_PT,
+                       OPUS_PT)
+from .opus_codec import OPUS_AVAILABLE, OpusError
 
 __all__ = ["PlayoutSession", "Mixer", "SAMPRATE", "RING_FRAMES"]
 
@@ -46,18 +46,25 @@ class PlayoutSession:
         self.packets = 0
         self.lates = 0
         self.decoder = None
-        if pt == OPUS_PT and OPUS_AVAILABLE:
+
+    def ensure_decoder(self) -> bool:
+        """Lazy per-packet-type decoder creation (monitor.c:497-504
+        'if(!sp->opus) opus_decoder_create'): a session first seen as PCM
+        can switch to Opus on the same SSRC."""
+        if self.decoder is None and OPUS_AVAILABLE:
             from .opus_codec import OpusDecoder
 
             self.decoder = OpusDecoder(SAMPRATE, 2)
+        return self.decoder is not None
 
     def pan_gains_delays(self) -> tuple[float, float, int, int]:
-        """Constant-power pan plus interaural delay (monitor.c:435-449)."""
-        theta = (self.pan + 1.0) * math.pi / 4.0   # 0..pi/2
-        lg = math.cos(theta) * self.gain
-        rg = math.sin(theta) * self.gain
-        ld = int(max(0.0, self.pan) * MAX_PAN_DELAY)
-        rd = int(max(0.0, -self.pan) * MAX_PAN_DELAY)
+        """Linear pan law plus interaural delay (monitor.c:435-449):
+        -6 dB per channel at center; the disfavored channel is delayed
+        up to 1 ms."""
+        lg = self.gain * (1.0 - self.pan) / 2.0
+        rg = self.gain * (1.0 + self.pan) / 2.0
+        ld = round(max(0.0, self.pan) * MAX_PAN_DELAY)
+        rd = round(max(0.0, -self.pan) * MAX_PAN_DELAY)
         return lg, rg, ld, rd
 
 
@@ -82,24 +89,44 @@ class Mixer:
             sess = PlayoutSession(hdr.ssrc, hdr.type)
             self.sessions[hdr.ssrc] = sess
         sess.packets += 1
-        payload = data[off:]
+        sess.type = hdr.type      # updated every packet (monitor.c:430)
+        payload = rtp_payload(hdr, data, off)
+        if not payload:
+            return
 
         if hdr.type == OPUS_PT:
-            if sess.decoder is None:
+            if not sess.ensure_decoder():
                 return
-            audio = sess.decoder.decode(payload)
+            if hdr.marker:
+                # clean decoder state for the new talk spurt
+                # (monitor.c:481-483 OPUS_RESET_STATE)
+                sess.decoder.reset()
+            try:
+                audio = sess.decoder.decode(payload)
+            except OpusError:
+                return        # one corrupt packet must not kill the daemon
         else:
+            # truncate a ragged tail instead of crashing: the reference's
+            # integer frame-count division ignores trailing partial bytes
+            frame = 2 if hdr.type == PCM_MONO_PT else 4
+            payload = payload[: len(payload) // frame * frame]
             pcm = np.frombuffer(payload, ">i2").astype(np.float32) / 32767.0
             audio = (
                 np.repeat(pcm[:, None], 2, axis=1)
                 if hdr.type == PCM_MONO_PT
                 else pcm.reshape(-1, 2)
             )
-        if sess.muted or len(audio) == 0:
+        if len(audio) == 0:
             return
 
         # Playout positioning (monitor.c:452-474)
         if hdr.marker or sess.anchor_ts is None:
+            if hdr.marker:
+                # a talk-spurt start resets the playout delay too
+                # (monitor.c:459), so late bumps don't accumulate across
+                # spurts forever; the late-path re-anchor (anchor_ts=None)
+                # must keep its bumped delay
+                sess.playout = START_DELAY
             sess.anchor_ts = hdr.timestamp
             sess.anchor_pos = (self.rptr + sess.playout) % RING_FRAMES
             rel = 0
@@ -116,12 +143,26 @@ class Mixer:
             sess.anchor_ts = None        # re-anchor on next packet
             return
 
+        if sess.muted:
+            # a muted session still advances its anchor/late bookkeeping
+            # (the reference mixes it at zero gain, monitor.c:439-449);
+            # skipping the ring add is just cheaper
+            return
         lg, rg, ld, rd = sess.pan_gains_delays()
         n = len(audio)
-        li = (np.arange(n) + wpos + ld) % RING_FRAMES
-        ri = (np.arange(n) + wpos + rd) % RING_FRAMES
-        np.add.at(self.ring[:, 0], li, audio[:, 0] * lg)
-        np.add.at(self.ring[:, 1], ri, audio[:, 1] * rg)
+        self._ring_add(0, (wpos + ld) % RING_FRAMES, audio[:, 0] * lg)
+        self._ring_add(1, (wpos + rd) % RING_FRAMES, audio[:, 1] * rg)
+
+    def _ring_add(self, chan: int, start: int, samples: np.ndarray) -> None:
+        """Additive ring write as at most two contiguous slice adds
+        (the reference's two-chunk wrap handling, monitor.c:360-386) —
+        per-packet write indices are unique, so np.add.at's slow
+        duplicate-safe inner loop is wasted work on the 1-core host."""
+        n = len(samples)
+        first = min(n, RING_FRAMES - start)
+        self.ring[start : start + first, chan] += samples[:first]
+        if first < n:
+            self.ring[: n - first, chan] += samples[first:]
 
     def read(self, frames: int) -> np.ndarray:
         """Drain `frames` stereo frames; zero the ring behind the read

@@ -20,8 +20,9 @@ from ..net.rtp import (
     PCM_MONO_PT,
     PCM_STEREO_PT,
     OPUS_PT,
+    rtp_payload,
 )
-from .opus_codec import OpusEncoder
+from .opus_codec import OpusEncoder, OpusError
 
 __all__ = ["OpusSession", "OpusTranscoder"]
 
@@ -59,13 +60,18 @@ class OpusSession:
 
     def feed(self, hdr: RTPHeader, payload: bytes) -> None:
         channels = 1 if hdr.type == PCM_MONO_PT else 2
+        # ragged tails are truncated, not crashed on (the reference's
+        # integer frame-count division ignores trailing partial bytes)
+        payload = payload[: len(payload) // (2 * channels) * (2 * channels)]
         frames = len(payload) // (2 * channels)
         gap = rtp_process(self.rtp_in, hdr, frames)
         if gap < 0:
             return
         if hdr.marker or gap > 4 * self.frame_len:
-            # reset on talk-spurt start or long gap (opus.c:251-255)
-            self.encoder = self._make_encoder()
+            # reset on talk-spurt start or long gap (opus.c:251-255).
+            # In place (OPUS_RESET_STATE) like the reference — recreating
+            # the encoder leaked its native allocation every squelch open
+            self.encoder.reset()
             self.buf = np.zeros((0, 2), np.float32)
             self.timestamp = (self.timestamp + gap) & 0xFFFFFFFF
             self.silent = True
@@ -116,9 +122,15 @@ class OpusTranscoder:
             return
         if hdr.type not in (PCM_MONO_PT, PCM_STEREO_PT):
             return
-        key = (sender[0], hdr.ssrc)
+        # full sender address in the key (opus.c:287 memcmps the whole
+        # sockaddr): two senders on one host sharing an SSRC must not
+        # merge into one interleaved session
+        key = (sender[0], sender[1] if len(sender) > 1 else 0, hdr.ssrc)
         sess = self.sessions.get(key)
         if sess is None:
             sess = OpusSession(hdr.ssrc, self.send, **self.opts)
             self.sessions[key] = sess
-        sess.feed(hdr, data[off:])
+        try:
+            sess.feed(hdr, rtp_payload(hdr, data, off))
+        except OpusError:
+            return    # one corrupt packet must not kill the daemon

@@ -22,6 +22,7 @@ __all__ = [
     "OPUS_PT",
     "RTPHeader",
     "RTPState",
+    "rtp_payload",
     "rtp_process",
 ]
 
@@ -101,6 +102,20 @@ class RTPHeader:
             (ext_len,) = struct.unpack(">H", data[off : off + 2])
             off += 2 + 4 + ext_len  # 4 + len per multicast.c:272
         return h, off
+
+
+def rtp_payload(hdr: RTPHeader, data: bytes, off: int) -> bytes:
+    """Extract the payload, stripping RTP padding (monitor.c:312-317,
+    opus.c:190-194: the last pad byte holds the pad count).  Returns b""
+    for a bogus pad count instead of raising — the reference's
+    'if(pkt->len <= 0) continue' tolerance for hostile datagrams."""
+    payload = data[off:]
+    if hdr.pad and payload:
+        pad = payload[-1]
+        if pad == 0 or pad > len(payload):
+            return b""
+        payload = payload[:-pad]
+    return payload
 
 
 @dataclass

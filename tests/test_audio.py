@@ -79,8 +79,9 @@ class TestMixer:
         mixer.feed_packet(_pcm_packet(0, 0, 2, a, marker=True))
         mixer.read(START_DELAY)
         audio = mixer.read(480)
-        # equal-power centre pan: each contributes 0.25*cos(pi/4)
-        expect = 2 * 0.25 * np.cos(np.pi / 4)
+        # linear centre pan (monitor.c:440-441): each channel gets
+        # gain*(1±pan)/2 = 0.5, so each session contributes 0.25*0.5
+        expect = 2 * 0.25 * 0.5
         assert abs(audio[10, 0] - expect) < 0.01
 
     def test_late_packet_bumps_playout(self):
@@ -109,6 +110,100 @@ class TestMixer:
         # second packet (full left pan): right channel ~0
         assert np.max(np.abs(a[500:900, 0])) > 0.3
         assert np.max(np.abs(a[520:900, 1])) < 0.01
+
+    def test_malformed_payloads_do_not_crash(self):
+        """Hostile datagrams must be tolerated, not crash the daemon
+        (regression: odd-length PCM payloads raised in np.frombuffer,
+        ragged stereo in reshape, corrupt Opus in the decoder)."""
+        mixer = Mixer()
+        base = RTPHeader(type=PCM_MONO_PT, seq=0, timestamp=0, ssrc=4)
+        mixer.feed_packet(base.to_bytes() + b"\x01")            # odd mono
+        st = RTPHeader(type=PCM_STEREO_PT, seq=0, timestamp=0, ssrc=5)
+        mixer.feed_packet(st.to_bytes() + b"\x01\x02\x03\x04\x05\x06")
+        if OPUS_AVAILABLE:
+            op = RTPHeader(type=OPUS_PT, seq=0, timestamp=0, ssrc=6)
+            mixer.feed_packet(op.to_bytes() + b"\xff" * 7)      # garbage
+        tc = OpusTranscoder(send=lambda d: None)
+        tc.feed_packet(base.to_bytes() + b"\x01")
+        # a sane packet still mixes afterwards
+        mixer.feed_packet(_pcm_packet(1, 240, 4,
+                                      0.5 * np.ones(240, np.float32),
+                                      marker=True))
+        mixer.read(START_DELAY)
+        assert np.max(np.abs(mixer.read(240))) > 0.1
+
+    def test_rtp_padding_stripped(self):
+        """The pad bit's trailing bytes are not audio (monitor.c:312-315):
+        2 pad bytes on a mono PCM payload must not add a sample."""
+        mixer = Mixer()
+        pcm = np.full(240, 8000, ">i2").tobytes()
+        hdr = RTPHeader(type=PCM_MONO_PT, seq=0, timestamp=0, ssrc=8,
+                        marker=True, pad=True)
+        mixer.feed_packet(hdr.to_bytes() + pcm + b"\x7f\x02")   # pad len 2
+        mixer.read(START_DELAY)
+        a = mixer.read(242)
+        assert np.max(np.abs(a[:240])) > 0.1
+        assert np.all(a[240:] == 0.0)          # pad bytes not decoded
+
+    def test_marker_resets_playout_delay(self):
+        """A talk-spurt start re-anchors AND resets the playout delay to
+        100 ms (monitor.c:459) — late bumps must not accumulate into
+        permanent latency creep."""
+        mixer = Mixer()
+        tone = 0.1 * np.ones(480, np.float32)
+        mixer.feed_packet(_pcm_packet(0, 0, 1, tone, marker=True))
+        sess = mixer.sessions[1]
+        mixer.read(START_DELAY + 48000)
+        mixer.feed_packet(_pcm_packet(1, 480, 1, tone))   # late -> bump
+        assert sess.playout == START_DELAY + SAMPRATE // 1000
+        mixer.feed_packet(_pcm_packet(2, 96000, 1, tone, marker=True))
+        assert sess.playout == START_DELAY
+
+    @needs_opus
+    def test_same_ssrc_switches_pcm_to_opus(self):
+        """A session first seen as PCM must still decode when the same
+        SSRC switches to Opus (lazy decoder creation, monitor.c:497-504)."""
+        from ka9q_sdr_tpu.audio.opus_codec import OpusEncoder
+
+        mixer = Mixer()
+        mixer.feed_packet(_pcm_packet(0, 0, 11,
+                                      0.2 * np.ones(480, np.float32),
+                                      marker=True))
+        enc = OpusEncoder()
+        frame = 0.4 * np.ones((960, 2), np.float32)
+        pkt = enc.encode(frame)         # warm up the encoder
+        pkt = enc.encode(frame)
+        hdr = RTPHeader(type=OPUS_PT, seq=1, timestamp=96000, ssrc=11,
+                        marker=True)
+        mixer.feed_packet(hdr.to_bytes() + pkt)
+        assert mixer.sessions[11].decoder is not None
+        assert mixer.sessions[11].type == OPUS_PT
+        mixer.read(START_DELAY)
+        assert np.max(np.abs(mixer.read(960))) > 0.05
+
+
+class TestTranscoderSessions:
+    @needs_opus
+    def test_marker_reset_reuses_encoder(self):
+        """Talk-spurt resets are in-place (OPUS_RESET_STATE, opus.c:253):
+        re-creating the encoder leaked its native allocation every
+        squelch re-open."""
+        tc = OpusTranscoder(send=lambda d: None)
+        a = 0.2 * np.ones(480, np.float32)
+        tc.feed_packet(_pcm_packet(0, 0, 7, a, marker=True))
+        enc0 = next(iter(tc.sessions.values())).encoder
+        tc.feed_packet(_pcm_packet(1, 480, 7, a, marker=True))
+        assert next(iter(tc.sessions.values())).encoder is enc0
+
+    @needs_opus
+    def test_sessions_keyed_by_full_sender(self):
+        """Two senders on one IP (different ports) sharing an SSRC stay
+        separate sessions (opus.c:287 memcmps the whole sockaddr)."""
+        tc = OpusTranscoder(send=lambda d: None)
+        a = 0.2 * np.ones(480, np.float32)
+        tc.feed_packet(_pcm_packet(0, 0, 7, a), sender=("10.0.0.1", 5004))
+        tc.feed_packet(_pcm_packet(0, 0, 7, a), sender=("10.0.0.1", 5006))
+        assert len(tc.sessions) == 2
 
 
 class TestMonitorTUI:
@@ -211,5 +306,6 @@ def test_monitor_dash_I_group_syntax(tmp_path):
     th.join(timeout=5.0)
     assert res.get("rc") == 0
     a = np.frombuffer(out.read_bytes(), np.int16)
-    # both sessions mixed additively -> nonzero audio present
-    assert len(a) > 0 and np.abs(a.astype(np.int32)).max() > 4000
+    # both sessions mixed additively -> more than one session's worth of
+    # audio present (each contributes 3000 * 0.5 centre-pan gain)
+    assert len(a) > 0 and np.abs(a.astype(np.int32)).max() > 2500
