@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import sys
 
 __all__ = ["setup_mcast", "DEFAULT_MCAST_PORT", "DEFAULT_RTCP_PORT"]
 
@@ -82,25 +83,33 @@ def setup_mcast(
         # multicast.c:197 binds resp->ai_addr): an INADDR_ANY bind would
         # also deliver datagrams addressed to OTHER groups on the same
         # port — e.g. a receiver's own output-status stream arriving on
-        # its front-end-status socket.
+        # its front-end-status socket.  Fail loudly like the reference
+        # instead of silently widening to the wildcard, which would make
+        # exactly that self-delivery feedback real on a misconfigured
+        # (non-local unicast) target.
         try:
             fd.bind((addr[0], port))
-        except OSError:
-            fd.bind(("", port))
+        except OSError as e:
+            fd.close()
+            raise OSError(
+                f"cannot bind receive socket to {addr[0]}:{port} "
+                f"(target {target!r}): {e}"
+            ) from e
 
-    # Join even when sending (IGMP-snooping workaround, multicast.c:208-217)
+    # Join even when sending (IGMP-snooping workaround, multicast.c:208-217).
+    # One ip_mreqn covers both cases: ifindex 0 = kernel-chosen interface.
     if is_mcast:
-        if iface:
-            try:
-                ifidx = socket.if_nametoindex(iface)
-                mreq = group + socket.inet_aton("0.0.0.0") + struct.pack("@i", ifidx)
-                fd.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-            except OSError:
-                pass
-        else:
-            mreq = group + socket.inet_aton("0.0.0.0")
-            try:
-                fd.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-            except OSError:
-                pass
+        try:
+            ifidx = socket.if_nametoindex(iface) if iface else 0
+        except OSError:
+            print(f"multicast: unknown interface {iface!r}; joining on "
+                  "the default interface", file=sys.stderr)
+            ifidx = 0
+        mreq = group + socket.inet_aton("0.0.0.0") + struct.pack("@i", ifidx)
+        try:
+            fd.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        except OSError as e:
+            # a receiver that can't join is silently deaf on a snooping
+            # switch — say so like the reference's perror (multicast.c)
+            print(f"multicast: join {addr[0]} failed: {e}", file=sys.stderr)
     return fd

@@ -88,6 +88,10 @@ def _rr_block(rr: RTCPReceiverReport) -> bytes:
 def gen_sr(sr: RTCPSenderReport, rrs: list[RTCPReceiverReport] = ()) -> bytes:
     """Sender report (gen_sr, rtcp.c:10-42)."""
     rc = len(rrs)
+    if not 0 <= rc <= 31:
+        # the count lives in a 5-bit field; 32 would overflow into the
+        # padding bit and corrupt the header (the C has the same check)
+        raise ValueError("0..31 receiver reports")
     words = 1 + 6 + 6 * rc
     out = bytearray()
     out.append((2 << 6) | rc)
@@ -110,6 +114,8 @@ def gen_sr(sr: RTCPSenderReport, rrs: list[RTCPReceiverReport] = ()) -> bytes:
 def gen_rr(ssrc: int, rrs: list[RTCPReceiverReport] = ()) -> bytes:
     """Receiver report (gen_rr, rtcp.c:45-70)."""
     rc = len(rrs)
+    if not 0 <= rc <= 31:
+        raise ValueError("0..31 receiver reports")
     words = 2 + 6 * rc
     out = bytearray()
     out.append((2 << 6) | rc)

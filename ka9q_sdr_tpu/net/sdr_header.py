@@ -42,5 +42,11 @@ class LegacyStatus:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "LegacyStatus":
+        if len(data) < LEGACY_STATUS_SIZE:
+            # ValueError, not struct.error: every wire-ingest loop guards
+            # the net-module parsers with `except ValueError`
+            raise ValueError(
+                f"legacy status too short: {len(data)} < {LEGACY_STATUS_SIZE}"
+            )
         t, f, sr, lna, mix, ifg = struct.unpack(_FMT, data[:LEGACY_STATUS_SIZE])
         return cls(t, f, sr, lna, mix, ifg)

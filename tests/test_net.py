@@ -156,6 +156,20 @@ class TestRTCP:
         wire = gen_bye([1, 2])
         assert wire[1] == 203 and len(wire) == 12
 
+    def test_report_count_bounded(self):
+        """RC is a 5-bit field: 32 reports would overflow into the
+        padding bit (first byte 0xA0) and corrupt the header."""
+        import pytest
+
+        from ka9q_sdr_tpu.net.rtcp import RTCPReceiverReport, gen_rr
+
+        rr = RTCPReceiverReport(ssrc=1)
+        with pytest.raises(ValueError):
+            gen_sr(RTCPSenderReport(ssrc=1), [rr] * 32)
+        with pytest.raises(ValueError):
+            gen_rr(1, [rr] * 32)
+        assert gen_rr(1, [rr] * 31)[0] == 0x80 | 31
+
 
 class TestLegacyStatus:
     def test_roundtrip(self):
@@ -165,6 +179,14 @@ class TestLegacyStatus:
         assert len(data) == 24
         s2 = LegacyStatus.from_bytes(data)
         assert s2 == s
+
+    def test_short_payload_raises_valueerror(self):
+        """Wire ingest loops guard parsers with `except ValueError`;
+        struct.error from a truncated hostile payload escaped that."""
+        import pytest
+
+        with pytest.raises(ValueError):
+            LegacyStatus.from_bytes(b"short")
 
 
 class TestPCMOutput:
