@@ -82,14 +82,47 @@ def main(argv=None) -> int:
     passcode = args.passcode or str(aprs_passcode(args.user))
     in_sock = setup_mcast(args.input, output=False)
 
+    def start_drain(sock, dead, verbose):
+        """Reader thread like the reference's netreader (aprsfeed.c:159,
+        278-293): APRS-IS servers send a login response and periodic
+        '# aprsc' keepalives; never reading them fills the kernel buffer
+        until the server stalls and drops the 'unresponsive' client."""
+        import threading
+
+        def run():
+            try:
+                while True:
+                    d = sock.recv(4096)
+                    if not d:
+                        break
+                    if verbose:
+                        sys.stderr.write(d.decode("ascii", "replace"))
+            except OSError:
+                pass
+            dead.set()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    import threading
+
     net = None
+    net_dead = threading.Event()
     while True:
+        if net is not None and net_dead.is_set():
+            try:
+                net.close()
+            except OSError:
+                pass
+            net = None
+            print("APRS-IS connection lost; reconnecting", file=sys.stderr)
         if net is None and not args.dry_run:
             try:
                 net = socket.create_connection((args.host, int(args.port)), 30)
                 login = f"user {args.user} pass {passcode} vers KA9Q-aprs 1.0\r\n"
                 net.sendall(login.encode())
                 print(f"connected to {args.host}:{args.port}", file=sys.stderr)
+                net_dead = threading.Event()
+                start_drain(net, net_dead, args.verbose)
             except OSError as e:
                 print(f"APRS-IS connect failed: {e}; retrying", file=sys.stderr)
                 net = None

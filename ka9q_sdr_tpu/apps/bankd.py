@@ -689,6 +689,10 @@ def main(argv=None) -> int:
 
     if args.channel_file:
         groups = read_channel_file(args.channel_file, args.mode)
+        if not groups:
+            print(f"bankd: no channels in {args.channel_file}",
+                  file=sys.stderr)
+            return 1
         if len(groups) > 1:
             return run_multibank(args, groups)
         args.mode = groups[0][0]

@@ -119,7 +119,8 @@ class StatusMirror:
         if sh:
             lines.append(f"Shift {sh:+,.1f} Hz")
         low, high = g(StatusType.LOW_EDGE), g(StatusType.HIGH_EDGE)
-        if low is not None:
+        if low is not None and high is not None:
+            # delta-coded status can deliver one edge before the other
             lines.append(f"Filter {low:+.0f}..{high:+.0f} Hz  "
                          f"beta {g(StatusType.KAISER_BETA, 0):.1f}")
         # option flags + AGC (the reference Options/Demodulator windows)

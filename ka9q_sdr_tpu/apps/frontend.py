@@ -178,13 +178,21 @@ class FrontEndDaemon:
         self.commands += 1
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
-                self.requested = st.decode_double(v)
-                self.actual = self._tune_hw(self.requested)
+                f = st.decode_double(v)
+                # a daemon must not be killable by one crafted datagram:
+                # round(nan)/round(inf) raise inside _tune_hw
+                if np.isfinite(f) and 0.0 <= f < 10e9:
+                    self.requested = f
+                    self.actual = self._tune_hw(self.requested)
             elif t == StatusType.CALIBRATE:
                 # funcube.c:795-799: new TCXO estimate; retune keeps the
-                # commanded RF and re-quantises through the synthesizer
-                self.calibration = st.decode_double(v)
-                self.actual = self._tune_hw(self.requested)
+                # commanded RF and re-quantises through the synthesizer.
+                # TCXO errors are ppm-scale; a crafted cal of -1 would
+                # divide by zero in _tune_hw
+                c = st.decode_double(v)
+                if np.isfinite(c) and abs(c) < 1e-2:
+                    self.calibration = c
+                    self.actual = self._tune_hw(self.requested)
 
     def emit_status(self) -> None:
         """10 Hz TLV status (funcube.c status thread, 836-930); also the
@@ -224,6 +232,7 @@ class FrontEndDaemon:
 
     def run(self, seconds: float = 0.0) -> None:
         t0 = time.monotonic()
+        sent = 0              # unwrapped sample count, for pacing only
         gps_ns = int((time.time() - UNIX_EPOCH_GPS + GPS_UTC_OFFSET) * 1e9)
         last_status = 0.0
         while True:
@@ -249,9 +258,12 @@ class FrontEndDaemon:
                 pass
             self.seq = (self.seq + 1) & 0xFFFF
             self.timestamp = (self.timestamp + BLOCKSIZE) & 0xFFFFFFFF
+            sent += BLOCKSIZE
 
-            # command poll + pacing
-            due = t0 + (self.timestamp & 0xFFFFFFFF) / self.samprate
+            # command poll + pacing against an UNWRAPPED sample counter:
+            # the 32-bit RTP timestamp wraps after ~6 h at 192 ksps, which
+            # would collapse `due` back to t0 and un-pace the sender
+            due = t0 + sent / self.samprate
             while True:
                 timeout = due - time.monotonic()
                 ready, _, _ = select.select([self.ctl_sock], [],

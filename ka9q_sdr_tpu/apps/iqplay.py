@@ -41,6 +41,9 @@ def play_stream(
     receivers use 9000-byte buffers, so main() caps -b at 2048 samples."""
     seq = 0
     timestamp = 0
+    samples = 0               # unwrapped: the 32-bit RTP timestamp wraps
+    #                           in ~30 min at 2.4 Msps, which would
+    #                           collapse pacing and the GPS status clock
     ssrc = int(time.time()) & 0xFFFFFFFF
     t0 = time.monotonic()
     sent = 0
@@ -52,17 +55,18 @@ def play_stream(
         nsamp = len(data) // 4
         hdr = RTPHeader(type=IQ_PT, seq=seq, timestamp=timestamp, ssrc=ssrc)
         status = LegacyStatus(
-            timestamp=gps_ns + int(timestamp * 1e9 / samprate),
+            timestamp=gps_ns + int(samples * 1e9 / samprate),
             frequency=frequency,
             samprate=samprate,
         )
         sock.send(hdr.to_bytes() + status.to_bytes() + data)
         seq = (seq + 1) & 0xFFFF
         timestamp = (timestamp + nsamp) & 0xFFFFFFFF
+        samples += nsamp
         sent += 1
         if realtime:
             # pace against the wall clock (iqplay.c gettimeofday pacing)
-            due = t0 + timestamp / samprate
+            due = t0 + samples / samprate
             delay = due - time.monotonic()
             if delay > 0:
                 time.sleep(delay)

@@ -59,6 +59,7 @@ def main(argv=None) -> int:
     silent = True
     stdin = sys.stdin.buffer
     t0 = time.monotonic()
+    sent = 0      # unwrapped sample count for pacing (ts wraps in ~24.8 h)
     while True:
         raw = stdin.read(frame * 4)   # stereo s16
         if not raw:
@@ -77,8 +78,9 @@ def main(argv=None) -> int:
             sock.send(hdr.to_bytes() + packet)
         else:
             silent = True
+        sent += frame
         if not args.fast:
-            due = t0 + timestamp / SAMPRATE
+            due = t0 + sent / SAMPRATE
             d = due - time.monotonic()
             if d > 0:
                 time.sleep(d)

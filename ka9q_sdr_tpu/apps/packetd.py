@@ -23,6 +23,7 @@ from ..net.rtp import (
     RTPHeader,
     RTPState,
     rtp_process,
+    rtp_payload,
     AX25_PT,
     PCM_MONO_PT,
     PCM_STEREO_PT,
@@ -42,6 +43,8 @@ class PacketSession:
 
     def feed(self, hdr: RTPHeader, payload: bytes) -> None:
         channels = 1 if hdr.type == PCM_MONO_PT else 2
+        # truncate ragged tails instead of crashing in np.frombuffer
+        payload = payload[: len(payload) // (2 * channels) * (2 * channels)]
         frames = len(payload) // (2 * channels)
         if rtp_process(self.rtp_in, hdr, frames) < 0:
             return   # dupes; gaps are ignored (packet.c:202-203)

@@ -53,8 +53,12 @@ def main(argv=None) -> int:
             continue
         payload = rtp_payload(hdr, data, off)
         channels = 1 if hdr.type == PCM_MONO_PT else 2
+        # truncate ragged tails instead of crashing in np.frombuffer
+        payload = payload[: len(payload) // (2 * channels) * (2 * channels)]
         frames = len(payload) // (2 * channels)
         ts = rtp_process(state, hdr, frames)
+        if ts < 0:
+            continue      # duplicate/old packet (pcmcat.c:158-159)
         samples = np.frombuffer(payload, ">i2").astype(np.int16)
         if ts > 0:
             # fill the gap with silence to preserve timing

@@ -470,10 +470,18 @@ class Receiver:
         mode = self.cfg.mode
         low = mode.low if low is None else float(low)
         high = mode.high if high is None else float(high)
+        # Same validation as bank.swap_filter_response: np.i0 overflows
+        # for beta beyond ~226 and make_kaiser returns all-NaN taps
+        # WITHOUT raising, and NaN edges sail through the < swap — either
+        # would NaN-poison every subsequent block's audio.
+        if not (np.isfinite(low) and np.isfinite(high)):
+            raise ValueError(f"non-finite filter edges: {low!r}, {high!r}")
         if high < low:
             low, high = high, low
         beta = (self.cfg.kaiser_beta if kaiser_beta is None
                 else max(0.0, float(kaiser_beta)))
+        if not np.isfinite(beta) or beta > 100.0:
+            raise ValueError(f"kaiser_beta out of range: {beta!r}")
         dsr = self.cfg.dsamprate
         response = set_filter_response(
             self.cfg.slave, low / dsr, high / dsr, beta

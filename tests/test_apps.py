@@ -883,6 +883,60 @@ def test_radio_hostile_numeric_commands(am_recording):
     assert np.all(np.isfinite(np.asarray(a)))
 
 
+def test_radio_hostile_filter_commands(am_recording):
+    """Review-found: NaN edges passed set_filter's high<low swap and a
+    kaiser_beta of 1e9 made np.i0 overflow to all-NaN taps WITHOUT
+    raising — either NaN-poisoned every later block's audio with the
+    daemon's except ValueError never firing."""
+    import math
+
+    from ka9q_sdr_tpu.apps.radio import RadioDaemon, build_parser
+
+    args = build_parser().parse_args(
+        ["--iq-file", am_recording, "-f", "48k", "-m", "USB"]
+    )
+    d = RadioDaemon(args)
+    L0 = d.rx.cfg.master.L
+    for key, bad in (
+        (StatusType.LOW_EDGE, math.nan),
+        (StatusType.HIGH_EDGE, math.inf),
+        (StatusType.KAISER_BETA, 1e9),
+        (StatusType.KAISER_BETA, math.nan),
+    ):
+        pkt = bytearray([1])
+        st.encode_float(pkt, key, bad)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))          # must not raise
+    import numpy as np
+    a, _ = d.rx.process(
+        (0.1 * np.exp(2j * np.pi * 1000 / 48000
+                      * np.arange(L0))).astype(np.complex64))
+    assert np.all(np.isfinite(np.asarray(a)))   # response not NaN-poisoned
+
+
+def test_frontend_hostile_numeric_commands():
+    """The frontend simulator daemon must survive crafted TLV commands:
+    round(nan) raised in _tune_hw; CALIBRATE=-1 divided by zero."""
+    import math
+
+    from ka9q_sdr_tpu.apps.frontend import FrontEndDaemon, build_args
+
+    d = FrontEndDaemon(build_args(["-R", "239.88.12.1:5004"]))
+    f0 = d.actual
+    for key, bad in (
+        (StatusType.RADIO_FREQUENCY, math.nan),
+        (StatusType.RADIO_FREQUENCY, math.inf),
+        (StatusType.RADIO_FREQUENCY, -1e12),
+        (StatusType.CALIBRATE, math.nan),
+        (StatusType.CALIBRATE, -1.0),
+    ):
+        pkt = bytearray([1])
+        st.encode_double(pkt, key, bad)
+        st.encode_eol(pkt)
+        d.handle_command(bytes(pkt))          # must not raise
+    assert d.actual == f0 and d.calibration == 0.0
+
+
 class TestReferenceFlagSurface:
     """Every short flag in the reference daemons' getopt strings is
     accepted by the drop-in CLI (main.c:131, monitor.c, opus.c,

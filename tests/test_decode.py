@@ -251,6 +251,46 @@ class TestAPRS:
         assert 0 <= aprs_passcode("N0CALL") <= 0x7FFF
 
 
+class TestPacketdDaemonLoop:
+    def test_pcm_ingest_loop(self, tmp_path):
+        """packetd's own socket loop ingests PCM datagrams (regression:
+        a refactor called rtp_payload without importing it, so the FIRST
+        PCM packet crashed the daemon with NameError — the DSP-level
+        chain tests bypass main()).  Hostile odd-length payloads must be
+        tolerated too."""
+        import threading
+
+        from ka9q_sdr_tpu.apps import packetd
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+        from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT
+
+        GRP, OUT = "239.88.11.7:5204", "239.88.11.8:5204"
+        res = {}
+        th = threading.Thread(
+            target=lambda: res.update(
+                rc=packetd.main(["-I", GRP, "-R", OUT, "--packets", "3"])),
+            daemon=True)
+        th.start()
+        import time
+
+        time.sleep(0.3)
+        tx = setup_mcast(GRP, output=True, ttl=0)
+        pay = np.zeros(240, ">i2").tobytes()
+        deadline = time.time() + 15.0
+        seq = 0
+        while th.is_alive() and time.time() < deadline:
+            tx.send(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=seq * 240,
+                              ssrc=5).to_bytes() + pay)
+            # hostile ragged payload interleaved — must not kill the loop
+            tx.send(RTPHeader(type=PCM_MONO_PT, seq=seq + 1,
+                              timestamp=(seq + 1) * 240,
+                              ssrc=5).to_bytes() + b"\x01")
+            seq += 2
+            time.sleep(0.02)
+        th.join(timeout=5.0)
+        assert res.get("rc") == 0
+
+
 class TestFMPacketChain:
     def test_aprs_over_nbfm_channel(self):
         """The reference's APRS chain: AFSK-1200 audio frequency-modulated
