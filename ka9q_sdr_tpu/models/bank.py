@@ -675,13 +675,28 @@ def swap_filter_response(
     slave = SlaveSpec(cfg.master, cfg.decimate, out_type)
     dsr = cfg.dsamprate
     resp = set_filter_response(slave, low / dsr, high / dsr, beta)
+    demod_cfg = cfg.demod_cfg
+    if mode.demod == "FM" and high != low and mode.high != mode.low:
+        # fm.c recomputes the audio gain from the CURRENT edges every
+        # block (fm.c:85-86); rescale the baked constant by the bandwidth
+        # ratio (gain ∝ 1/|high-low|, everything else unchanged)
+        demod_cfg = demod_cfg._replace(
+            gain=float(demod_cfg.gain * abs(mode.high - mode.low)
+                       / abs(high - low))
+        )
     cfg = cfg._replace(
         mode=dc_replace(mode, low=low, high=high),
         response=resp,
         kaiser_beta=beta,
+        demod_cfg=demod_cfg,
     )
-    leaf = jnp.asarray(c2r_np(resp))
     old = state.resp
+    if jnp.iscomplexobj(old):
+        # raw bank_init/bank_step state form keeps a complex resp leaf;
+        # only the packed (real) form used across jit boundaries packs
+        leaf = jnp.asarray(resp, jnp.complex64)
+    else:
+        leaf = jnp.asarray(c2r_np(resp))
     sh = getattr(old, "sharding", None)
     if sh is not None and hasattr(old, "devices"):
         leaf = jax.device_put(leaf, sh)
@@ -915,7 +930,14 @@ class MultiBank:
             self.cfgs.append(cfg)
         master = self.cfgs[0].master
         for c in self.cfgs[1:]:
-            assert c.master == master
+            # a real error, not an assert: under python -O a skipped
+            # check would let every non-zero group channelize a spectrum
+            # of the wrong FFT geometry into silently garbled audio
+            if c.master != master:
+                raise ValueError(
+                    f"MultiBank groups must share one master: "
+                    f"{c.master} != {master}"
+                )
 
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             for cfg, (mode, freqs) in zip(self.cfgs, groups):

@@ -239,25 +239,45 @@ def fm_demod(
     foffset = jnp.where(
         fresh, cfg.dsamprate * avg_f / (2.0 * np.pi), jnp.nan
     )
-    pdev_pos = jnp.max(samples_open, axis=-1) - avg_f
-    pdev_neg = jnp.min(samples_open, axis=-1) - avg_f
+    # Peak deviation tracks STRONG samples only (fm.c:133-139): the
+    # weak-filled values are in-block repeats (harmless to max/min) except
+    # a leading run, which carries the PREVIOUS block's lastaudio and
+    # must not be reported as this block's peak.  When the first sample
+    # is weak the reference's running peaks start at 0, not at the first
+    # strong value.
+    any_strong = jnp.any(strong, axis=-1)
+    smax = jnp.max(jnp.where(strong, disc, -jnp.inf), axis=-1)
+    smin = jnp.min(jnp.where(strong, disc, jnp.inf), axis=-1)
+    first_strong = strong[..., 0]
+    pmax = jnp.where(first_strong, smax, jnp.maximum(smax, 0.0))
+    pmin = jnp.where(first_strong, smin, jnp.minimum(smin, 0.0))
+    pdev_pos = jnp.where(any_strong, pmax, 0.0) - avg_f
+    pdev_neg = jnp.where(any_strong, pmin, 0.0) - avg_f
     pdeviation = jnp.where(
         fresh,
         cfg.dsamprate * jnp.maximum(pdev_pos, -pdev_neg) / (2.0 * np.pi),
         jnp.nan,
     )
 
-    # Post-detection audio chain (fm.c:162-172)
-    new_overlap, afdomain = master_execute(
-        cfg.audio_master, state.audio_overlap, samples
-    )
-    if cfg.flat:
+    # Post-detection audio chain (fm.c:162-172).  In flat mode with PL
+    # off there is no consumer of the audio-master FFT — skip the whole
+    # AN-point rFFT + overlap carry on the hot path (one per channel per
+    # block in a flat bank).
+    if cfg.flat and cfg.pl_slave is None:
+        new_overlap, afdomain = state.audio_overlap, None
         audio = samples
     else:
-        audio = (
-            slave_execute(cfg.audio_slave, afdomain, jnp.asarray(cfg.audio_response))
-            * cfg.gain
+        new_overlap, afdomain = master_execute(
+            cfg.audio_master, state.audio_overlap, samples
         )
+        if cfg.flat:
+            audio = samples
+        else:
+            audio = (
+                slave_execute(cfg.audio_slave, afdomain,
+                              jnp.asarray(cfg.audio_response))
+                * cfg.gain
+            )
 
     # PL tone measurement (pltask, fm.c:233-277)
     pl_ring, pl_counter, plfreq = state.pl_ring, state.pl_counter, state.plfreq

@@ -61,7 +61,14 @@ class LinearConfig(NamedTuple):
     the output sample rate."""
 
     samptime: float       # seconds per decimated sample (linear.c:29)
-    blocktime: float      # seconds per block (linear.c:30)
+    blocktime: float      # seconds per block — the TRUE block duration.
+    #                       linear.c:30 computes samptime * filter.L with
+    #                       the MASTER (input-rate) L, i.e. decimate x the
+    #                       block duration, tying the PLL integral gain to
+    #                       the decimation ratio (x4 at the C's only real
+    #                       geometry, x512 at bank geometry, where it
+    #                       would destabilize the loop).  Deliberate
+    #                       divergence, PARITY.md #15.
     agc: AGCParams
     pll: bool = False
     square: bool = False
@@ -372,9 +379,14 @@ def linear_demod(
     n = baseband.shape[-1]
     bb_power = (signal + noise) / (2.0 * n)
     if cfg.pll:
-        snr = jnp.maximum(
-            jnp.where(noise > 0, signal / jnp.maximum(noise, 1e-30) - 1.0, 0.0),
-            0.0,
+        # noise == 0 is NAN in the C (linear.c:304-309); its lock
+        # detector's `snr < thresh` is then false, drifting TOWARD lock.
+        # +inf reproduces that branch direction for ideal (noiseless)
+        # input without poisoning downstream arithmetic.
+        snr = jnp.where(
+            noise > 0,
+            jnp.maximum(signal / jnp.maximum(noise, 1e-30) - 1.0, 0.0),
+            jnp.inf,
         )
     else:
         snr = jnp.full(baseband.shape[:-1], jnp.nan, jnp.float32)

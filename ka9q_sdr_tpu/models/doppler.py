@@ -37,12 +37,15 @@ class DopplerSteerer:
     the interface both Receiver and (per-channel) ChannelBank adapters
     provide."""
 
-    def __init__(self, receiver, command: str, clock=time.time, sleep=time.sleep):
+    def __init__(self, receiver, command: str, clock=time.time, sleep=None):
         self.receiver = receiver
         self.command = command
         self.clock = clock
-        self.sleep = sleep
+        # default sleep is interruptible: stop() wakes it immediately
+        # instead of letting the thread doze toward an ephemeris point
+        # hours ahead and apply one more steer after waking
         self._stop = threading.Event()
+        self.sleep = sleep if sleep is not None else self._stop.wait
         self._thread: threading.Thread | None = None
 
     def start(self) -> None:
@@ -51,6 +54,8 @@ class DopplerSteerer:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
 
     def steer_from_lines(self, lines) -> int:
         """Apply ephemeris lines (the inner loop of doppler.c:46-67).
@@ -68,6 +73,8 @@ class DopplerSteerer:
                 continue   # stale entry (doppler.c:55-58)
             if t > now:
                 self.sleep(t - now)
+                if self._stop.is_set():
+                    break    # woken by stop(): don't apply one more steer
             f0 = self.receiver.tune_freq
             self.receiver.set_doppler(
                 f0 * -rangerate / SPEED_OF_LIGHT,
@@ -90,5 +97,10 @@ class DopplerSteerer:
                 self.steer_from_lines(proc.stdout)
             finally:
                 proc.terminate()
+                try:
+                    proc.wait(timeout=5.0)   # reap: no zombie children
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
             self.receiver.set_doppler(0.0, 0.0)  # reset between passes
             self.sleep(1.0)

@@ -106,7 +106,9 @@ def make_receiver_config(
         mode = DEFAULT_MODES[mode.upper()]
     if samprate % out_rate:
         raise ValueError(f"samprate {samprate} not divisible by {out_rate}")
-    decimate = samprate // out_rate
+    # int() so a float samprate (192000.0) can't propagate float filter
+    # lengths into the window design (make_kaiser needs integral M)
+    decimate = int(samprate // out_rate)
     master = MasterSpec(L, M, FilterType.COMPLEX)
     dsamprate = samprate / decimate
 
@@ -462,9 +464,10 @@ class Receiver:
         set_filter, filter.c:500-546): redesign the slave response and the
         n0 passband mask and hot-swap them into the running program — no
         recompile, matching the reference's response-pointer swap under
-        mutex (filter.c:537-543).  The demod config (e.g. the FM gain
-        constant, fm.c:86) is NOT recomputed, exactly as in the reference
-        where set_filter leaves the running demod thread's constants."""
+        mutex (filter.c:537-543).  The FM audio gain constant IS
+        recomputed from the new edges: fm.c:85-86 derives it from the
+        current bandwidth every block ("We do this in the loop because
+        BW can change")."""
         from dataclasses import replace as dc_replace
 
         mode = self.cfg.mode
@@ -479,19 +482,33 @@ class Receiver:
         if high < low:
             low, high = high, low
         beta = (self.cfg.kaiser_beta if kaiser_beta is None
-                else max(0.0, float(kaiser_beta)))
+                else float(kaiser_beta))
+        # isfinite BEFORE the clamp: max(0.0, nan) silently returns 0.0
         if not np.isfinite(beta) or beta > 100.0:
             raise ValueError(f"kaiser_beta out of range: {beta!r}")
+        beta = max(0.0, beta)
         dsr = self.cfg.dsamprate
         response = set_filter_response(
             self.cfg.slave, low / dsr, high / dsr, beta
         )
         mask = passband_mask(self.cfg.master.N, self.cfg.samprate, low, high)
+        demod_cfg = self.cfg.demod_cfg
+        if mode.demod == "FM" and high != low:
+            # fm.c recomputes the audio gain from the CURRENT edges every
+            # block ("We do this in the loop because BW can change",
+            # fm.c:85-86); a baked constant would leave the level ~8 dB
+            # off after a live bandwidth change
+            headroom = 10.0 ** (self.cfg.headroom_db / 20.0)
+            demod_cfg = demod_cfg._replace(
+                gain=float(headroom * (1.0 / np.pi) * self.cfg.dsamprate
+                           / abs(low - high))
+            )
         self.cfg = self.cfg._replace(
             mode=dc_replace(mode, low=low, high=high),
             response=response,
             n0_mask=mask,
             kaiser_beta=beta,
+            demod_cfg=demod_cfg,
         )
         # the offline scan bakes the response in as a constant — retrace
         if hasattr(self, "_scan"):
@@ -612,8 +629,6 @@ class Receiver:
         """Batch-demodulate (nblocks, L, 2) int16 I/Q in one device
         program (receiver_scan): the fast path for recordings."""
         if not hasattr(self, "_scan"):
-            from ..models.receiver import receiver_scan_packed
-
             self._scan = jax.jit(receiver_scan_packed(self.cfg, self._template))
         self.state, audio = self._scan(self.state, blocks_i16)
         return np.asarray(audio)

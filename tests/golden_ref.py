@@ -421,6 +421,10 @@ class GoldenLinearPLL(GoldenLinear):
         noise = float(np.sum(bb.imag.astype(np.float64) ** 2))
         if noise != 0:
             self.snr = max(0.0, signal / noise - 1.0)
+        else:
+            # linear.c:309 sets NAN; `NAN < snrthresh` is false, so the
+            # lock detector drifts toward lock on noiseless input
+            self.snr = float("nan")
         out = super().demod(bb)
         return out
 

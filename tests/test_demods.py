@@ -151,6 +151,25 @@ class TestLinear:
         # AGC-settled level a passband tone would reach
         assert np.sqrt((seg**2).mean()) < 0.02
 
+    def test_noiseless_pll_drifts_toward_lock(self):
+        """noise == 0 is NAN SNR in the C (linear.c:309) and `NAN <
+        thresh` is false, so the lock detector INCREMENTS on ideal
+        noiseless input (regression: the port's 0.0 decremented — the
+        opposite direction)."""
+        import jax.numpy as jnp
+
+        from ka9q_sdr_tpu.models.demod_linear import (
+            LinearConfig, linear_init, linear_demod)
+
+        cfg = LinearConfig.make(48000.0, 960, pll=True)
+        st = linear_init(cfg)
+        bb = jnp.asarray(0.3 * np.ones(960, np.complex64))  # Q exactly 0
+        st, _, _ = linear_demod(cfg, st, bb)
+        assert np.isinf(float(np.asarray(st.snr)))
+        lock_before = int(np.asarray(st.lock_count))
+        st, _, _ = linear_demod(cfg, st, bb)
+        assert int(np.asarray(st.lock_count)) > lock_before
+
     def test_cwu_offset(self):
         """CW mode shifts the passband so a carrier at the dial frequency
         comes out at +700 Hz (modes.txt CWU)."""
@@ -213,6 +232,50 @@ class TestBank:
         a = np.concatenate(out, axis=-1)
         assert a.shape[0] == 4
         assert abs(tone_freq(a[2]) - 400.0) < 5.0
+
+    def test_swap_filter_response_keeps_complex_state_form(self):
+        """swap_filter_response on a RAW bank_init state (complex resp
+        leaf) must keep it complex (regression: it always packed c2r into
+        a real (N,2) leaf, shape-crashing the next bank_step)."""
+        import jax.numpy as jnp
+
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config,
+            bank_init,
+            bank_step,
+            swap_filter_response,
+        )
+
+        fs = 1.536e6
+        cfg = make_bank_config(2, "AM", samprate=fs, L=30720, M=34817)
+        st = bank_init(cfg, [-300e3, 150e3])
+        assert jnp.iscomplexobj(st.resp)
+        cfg2, st2 = swap_filter_response(cfg, st, low=-4000.0, high=4000.0)
+        assert jnp.iscomplexobj(st2.resp)
+        x = np.zeros(30720, np.complex64)
+        st3, audio, _ = bank_step(cfg2, st2, x)   # must not shape-crash
+        assert np.all(np.isfinite(np.asarray(audio)))
+
+    def test_fm_gain_follows_live_filter_edits(self):
+        """fm.c recomputes the audio gain from the CURRENT edges every
+        block (fm.c:85-86): halving the bandwidth doubles the constant."""
+        from ka9q_sdr_tpu.models.receiver import Receiver, make_receiver_config
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config, bank_init, swap_filter_response)
+
+        rx = Receiver(make_receiver_config("FM", samprate=192000.0,
+                                           enable_pl=False))
+        g0 = rx.cfg.demod_cfg.gain
+        low0, high0 = rx.cfg.mode.low, rx.cfg.mode.high
+        rx.set_filter(low=low0 / 2, high=high0 / 2)
+        assert abs(rx.cfg.demod_cfg.gain / g0 - 2.0) < 1e-6
+
+        cfg = make_bank_config(2, "FM", samprate=1.536e6, L=30720, M=34817)
+        st = bank_init(cfg, [-300e3, 150e3])
+        g0 = cfg.demod_cfg.gain
+        cfg2, _ = swap_filter_response(cfg, st, low=cfg.mode.low / 2,
+                                       high=cfg.mode.high / 2)
+        assert abs(cfg2.demod_cfg.gain / g0 - 2.0) < 1e-6
 
     def test_bank_offbin_phase_continuity(self):
         """Tone at an off-bin channel center must come out as clean DC:
