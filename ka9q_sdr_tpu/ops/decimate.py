@@ -54,6 +54,12 @@ def _fir_decim2(state: jax.Array, x: jax.Array, taps: np.ndarray):
     jnp.einsum's TPU default precision (1-pass bf16, err ~5e-3 — the r4
     trap; see fft_mxu's docstring) silently degrading the cascade."""
     ntaps = len(taps)
+    if x.shape[-1] % 2:
+        # an odd block would silently shift the decimation grid one
+        # sample for every later block (n_out drops the tail, the carried
+        # state advances past it) — fail loudly instead
+        raise ValueError(f"decimate-by-2 needs an even block, got "
+                         f"{x.shape[-1]}")
     xx = jnp.concatenate([state, x], axis=-1)
     n_out = x.shape[-1] // 2
     y = None

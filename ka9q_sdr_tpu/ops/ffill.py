@@ -31,6 +31,7 @@ __all__ = ["forward_fill", "forward_fill_multi", "last_true_index"]
 #: Use the pallas kernel on TPU when the fill has at least this many
 #: elements (below it the scan is already near the dispatch floor).
 _PALLAS_MIN_ELEMS = 1 << 20
+_PALLAS_MAX_LANES = 1 << 15
 
 
 def last_true_index(mask: jax.Array) -> jax.Array:
@@ -141,6 +142,11 @@ def forward_fill_multi(values: tuple, mask: jax.Array, inits: tuple) -> tuple:
         jax.default_backend() == "tpu"
         and mask.ndim >= 2
         and mask.size >= _PALLAS_MIN_ELEMS
+        # VMEM per grid block scales with the lane (time) axis: ~5 f32
+        # planes x 64 rows x Tp lanes, double-buffered.  Past ~32k lanes
+        # that exceeds Mosaic's vmem limit and pallas_call fails to
+        # COMPILE — route long-block/few-channel shapes to the scan.
+        and mask.shape[-1] <= _PALLAS_MAX_LANES
         and all(v.dtype in (jnp.float32, jnp.complex64) for v in values)
     )
     if not use_pallas:

@@ -242,7 +242,9 @@ def master_execute(
         fdomain = jnp.fft.rfft(buf, axis=-1)
     elif spec.N >= FOURSTEP_MIN:
         if (jax.default_backend() == "tpu" and buf.ndim == 1
-                and not os.environ.get("KA9Q_EXACT_FFT")
+                # "0"/"false" must disable, not enable (truthy-string trap)
+                and os.environ.get("KA9Q_EXACT_FFT", "0").lower()
+                in ("", "0", "false", "no")
                 and _mxu_radices(spec.N) is not None):
             fdomain = fft_mxu(buf)
         else:

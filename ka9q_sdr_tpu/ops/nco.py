@@ -59,9 +59,12 @@ def split_double(f: float) -> tuple[int, float]:
     """Split a float64 frequency (cycles/sample) into a uint32 fixed-point
     part and a float32-safe residual.  |residual| <= 2^-33 cycles/sample."""
     fm = float(np.float64(f) % 1.0)
-    hi = int(np.round(fm * _TWO32)) % (2**32)
-    resid = float(fm - hi / _TWO32)
-    return hi, resid
+    hi_raw = int(np.round(fm * _TWO32))
+    # residual against the UNWRAPPED rounding: fm within 2^-33 below 1.0
+    # rounds to 2^32 -> hi 0, and the residual must be the tiny negative
+    # remainder, not ~1.0 (which would blow the |resid| <= 2^-33 contract)
+    resid = float(fm - hi_raw / _TWO32)
+    return hi_raw % (2**32), resid
 
 
 def osc_init() -> OscState:
@@ -157,6 +160,12 @@ def osc_advance(state: OscState, n: int) -> OscState:
         + nf * state.freq_resid
         + (nf * (nf - 1.0) * 0.5) * state.rate
     )
+    # Drop whole cycles BEFORE the fixed-point conversion: set_osc_traced
+    # keeps the entire PLL frequency in freq_resid, so extra can be many
+    # cycles per block and round(extra*2^32) would saturate int32 at
+    # |extra| >= 0.5, jumping the LO phase arbitrarily at every block
+    # boundary.  Phase is modulo one cycle, so the fold is exact.
+    extra = extra - jnp.round(extra)
     extra_fx = jnp.round(extra * _TWO32)
     new_phase = (
         state.phase

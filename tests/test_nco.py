@@ -80,3 +80,41 @@ def test_nco_mix_shape_and_energy():
     x = jnp.ones(256, jnp.complex64)
     _, y = N.nco_mix(st, x)
     np.testing.assert_allclose(np.abs(np.asarray(y)), 1.0, atol=1e-6)
+
+
+def test_split_double_near_integer_residual():
+    """f within 2^-33 below an integer (tiny negative f, e.g. Doppler
+    crossing zero) must yield a TINY residual, not ~1.0 (regression:
+    the residual was computed from the already-wrapped word)."""
+    hi, resid = N.split_double(-1e-12)
+    assert hi == 0
+    assert abs(resid) < 2**-33
+
+
+def test_traced_retune_multicycle_fold_exact():
+    """set_osc_traced keeps the whole PLL frequency in the float residual,
+    so osc_advance folds MANY cycles per block; whole cycles must drop
+    out exactly (regression: round(extra*2^32) saturated int32 at
+    |extra| >= 0.5, jumping the LO phase ~0.5 cycles per block — the
+    PLL could not pull in offsets beyond ~25 Hz)."""
+    # 100 Hz at 12 kHz, 240-sample blocks: 2.0 cycles per block
+    st = N.set_osc_traced(N.osc_init(), jnp.float32(100.0 / 12000.0))
+    for _ in range(5):
+        st = N.osc_advance(st, 240)
+    ph = (float(np.asarray(st.phase)) / 2**32
+          + float(np.asarray(st.phase_resid))) % 1.0
+    assert min(ph, 1.0 - ph) < 1e-4
+
+
+def test_traced_block_phase_continuity():
+    """Two osc_block calls must be phase-continuous with one long ramp
+    even when each block spans several cycles of a traced frequency."""
+    f = jnp.float32(0.0123)
+    st = N.set_osc_traced(N.osc_init(), f)
+    _, a = N.osc_block(st, 512)
+    st2 = N.osc_advance(st, 512)
+    _, b = N.osc_block(st2, 512)
+    got = np.concatenate([np.asarray(a), np.asarray(b)])
+    n = np.arange(1024, dtype=np.float64)
+    expect = np.exp(2j * np.pi * float(f) * n)
+    np.testing.assert_allclose(got, expect, atol=1e-3)
