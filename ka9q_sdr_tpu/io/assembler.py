@@ -30,8 +30,8 @@ SCALE8 = 1.0 / 127.0
 class BlockAssembler:
     """Feed RTP I/Q packets in; iterate dense complex64 blocks out.
 
-    Skips the legacy 24-byte status header if present (main.c:338-341,
-    detected by payload length modulo), drops dupes, zero-fills gaps.
+    Skips the legacy 24-byte status header unconditionally, exactly like
+    the reference (main.c:338-341); drops dupes, zero-fills gaps.
     """
 
     block_len: int

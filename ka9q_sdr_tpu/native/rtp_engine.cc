@@ -204,8 +204,14 @@ struct RxEngine {
     }
     seq = h.seq + 1;
     int32_t time_step = (int32_t)(h.timestamp - timestamp);
-    if (time_step < 0 || time_step > MAX_TIME_STEP) return;
+    if (time_step < 0) return;  // old/dup: state untouched (multicast.c:334)
+    // Re-sync the expected timestamp BEFORE the too-big-jump drop, exactly
+    // like rtp_process (multicast.c:334-339): the caller discards the
+    // packet (radio.c:77-79) but the stream recovers on the next one.  A
+    // producer restart that keeps its SSRC but picks a new timestamp
+    // origin must not black out ingest until int32 wrap.
     timestamp = h.timestamp + sampcnt;
+    if (time_step > MAX_TIME_STEP) return;
     if (time_step > 0) {
       gap_samples += time_step;
       push_zeros(time_step);
@@ -377,6 +383,11 @@ int rtp_tx_send(void* h, const int16_t* iq, int nsamples, int pkt_samples,
                 int realtime) {
   auto* e = (TxEngine*)h;
   uint8_t pkt[MAX_PKT];
+  // clamp to the stack buffer (12 RTP + 24 legacy status + 4 B/sample);
+  // Python callers already cap -b at 2048, this guards the raw C ABI
+  constexpr int kMaxChunk = (MAX_PKT - RTP_MIN_SIZE - LEGACY_STATUS) / 4;
+  if (pkt_samples > kMaxChunk) pkt_samples = kMaxChunk;
+  if (pkt_samples <= 0) return -1;
   int sent = 0;
   while (nsamples > 0) {
     int chunk = std::min(nsamples, pkt_samples);

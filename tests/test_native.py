@@ -271,3 +271,35 @@ def test_pcm_fanout_rejects_bad_pkt_samples():
     pcm1 = np.ones((1, 960), np.int16)
     assert tx.send_block(pcm1, ids, pkt_samples=100000) >= 1
     tx.close()
+
+
+def test_timestamp_jump_resyncs_stream():
+    """A too-big timestamp jump (same SSRC — e.g. a producer restart that
+    kept its SSRC but picked a new timestamp origin) drops that packet but
+    must RE-SYNC the expected timestamp, exactly like rtp_process
+    (multicast.c:334-339) + the radio.c:77-79 drop: the next packet flows.
+    Regression: the engine used to return before updating, blacking out
+    ingest until int32 wrap."""
+    from ka9q_sdr_tpu.native import RTPReceiver
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+    rx = RTPReceiver("239.77.1.9", 5504, block_len=240, skip_legacy=False)
+    tx = setup_mcast("239.77.1.9:5504", output=True, ttl=0)
+    payload = np.full(480, 2000, np.int16).astype("<i2").tobytes()  # 240 samp
+    # establish the stream, then jump the clock far beyond MAX_TIME_STEP
+    for seq, ts in ((0, 0), (1, 240), (2, 0x40000000), (3, 0x40000000 + 240)):
+        hdr = RTPHeader(type=IQ_PT, seq=seq, timestamp=ts, ssrc=9)
+        tx.send(hdr.to_bytes() + payload)
+    blocks = []
+    for _ in range(3):
+        b = rx.get_block(2000)
+        if b is None:
+            break
+        blocks.append(b)
+    # packets 0, 1 and 3 land (2 is the dropped jump); no zero-fill blocks
+    assert len(blocks) == 3, f"stream stalled after jump: got {len(blocks)}"
+    scale = 2000 / 32767.0
+    for b in blocks:
+        assert np.allclose(b[:, 0], scale)
+    rx.close()
