@@ -53,6 +53,11 @@ def _load():
         if not build():
             raise OSError("cannot build librtp_engine.so")
         lib = ctypes.CDLL(_SO)
+        lib.rtp_parse_probe.restype = ctypes.c_int
+        lib.rtp_parse_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
         lib.rtp_rx_create.restype = ctypes.c_void_p
         lib.rtp_rx_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -101,6 +106,18 @@ try:
     NATIVE_AVAILABLE = build()
 except Exception:
     NATIVE_AVAILABLE = False
+
+
+def parse_probe(data: bytes):
+    """Test-only: run the native wire parser on a datagram.  Returns
+    (version, type, seq, timestamp, ssrc, marker, payload_offset) or None
+    if the engine would drop it as malformed — for differential fuzzing
+    against net.rtp.RTPHeader.from_bytes."""
+    lib = _load()
+    out = (ctypes.c_longlong * 7)()
+    if not lib.rtp_parse_probe(data, len(data), out):
+        return None
+    return tuple(int(v) for v in out)
 
 
 class RTPReceiver:

@@ -284,6 +284,22 @@ long long now_us() {
 
 extern "C" {
 
+// Test-only: run the wire parser on an arbitrary datagram so the Python
+// suite can differentially fuzz it against net/rtp.py's parser.  out7 =
+// {version, type, seq, timestamp, ssrc, marker, payload_offset}.
+int rtp_parse_probe(const uint8_t* data, int len, long long* out7) {
+  RtpHeader h;
+  if (!parse_rtp(data, len, &h)) return 0;
+  out7[0] = h.version;
+  out7[1] = h.type;
+  out7[2] = h.seq;
+  out7[3] = h.timestamp;
+  out7[4] = h.ssrc;
+  out7[5] = h.marker ? 1 : 0;
+  out7[6] = h.payload_offset;
+  return 1;
+}
+
 void* rtp_rx_create(const char* group, int port, int block_len,
                     int skip_legacy, int ring_blocks) {
   int fd = make_mcast_rx(group, port);

@@ -101,6 +101,11 @@ class RTPHeader:
                 raise ValueError("RTP packet truncated in extension")
             (ext_len,) = struct.unpack(">H", data[off : off + 2])
             off += 2 + 4 + ext_len  # 4 + len per multicast.c:272
+            if off > len(data):
+                # extension claims more bytes than the datagram holds —
+                # malformed; drop rather than hand out stream state to a
+                # packet with no possible payload (native engine agrees)
+                raise ValueError("RTP extension length exceeds packet")
         return h, off
 
 

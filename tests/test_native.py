@@ -303,3 +303,56 @@ def test_timestamp_jump_resyncs_stream():
     for b in blocks:
         assert np.allclose(b[:, 0], scale)
     rx.close()
+
+
+def test_rtp_parser_differential_fuzz():
+    """The native wire parser and net.rtp.RTPHeader.from_bytes must agree
+    on every datagram: same accept/reject verdict, and identical header
+    fields + payload offset when accepted.  Random garbage plus structured
+    mutations (flags, CSRC counts, extensions, truncations)."""
+    import struct
+    from ka9q_sdr_tpu.native import parse_probe
+    from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+    rng = np.random.default_rng(2809)
+
+    def python_parse(pkt: bytes):
+        try:
+            h, off = RTPHeader.from_bytes(pkt)
+        except ValueError:
+            return None
+        return (h.version, h.type, h.seq, h.timestamp, h.ssrc,
+                int(h.marker), off)
+
+    cases = []
+    # pure garbage, every length 0..40 plus some larger
+    for n in list(range(41)) + [64, 200, 1500]:
+        for _ in range(20):
+            cases.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    # structured: valid-ish base headers with mutated flag bytes
+    for _ in range(2000):
+        cc = int(rng.integers(0, 16))
+        ext = int(rng.integers(0, 2))
+        pad = int(rng.integers(0, 2))
+        b0 = (2 << 6) | (pad << 5) | (ext << 4) | cc
+        b1 = int(rng.integers(0, 256))
+        hdr = struct.pack(">BBHII", b0, b1,
+                          int(rng.integers(0, 1 << 16)),
+                          int(rng.integers(0, 1 << 32)),
+                          int(rng.integers(0, 1 << 32)))
+        body = rng.integers(0, 256,
+                            int(rng.integers(0, 80)), dtype=np.uint8
+                            ).tobytes()
+        pkt = hdr + body
+        # random truncation half the time
+        if rng.integers(0, 2):
+            pkt = pkt[: int(rng.integers(0, len(pkt) + 1))]
+        cases.append(pkt)
+
+    for pkt in cases:
+        ours = python_parse(pkt)
+        native = parse_probe(pkt)
+        assert ours == native, (
+            f"parser divergence on {pkt.hex()}: python={ours} "
+            f"native={native}"
+        )
