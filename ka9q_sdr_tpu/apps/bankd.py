@@ -7,8 +7,11 @@ IFFT + demod.  Every channel's 48 kHz PCM goes out on the same multicast
 group with SSRC = channel index + 1, which the reference's own session
 demuxers (monitor, opus) already understand.
 
-Channels come from a channel file: one ``frequency [mode]`` per line
-(frequencies in parse_frequency syntax), or --channels N spread evenly.
+Channels come from a channel file: one ``frequency [mode [low high]]``
+per line (frequencies in parse_frequency syntax; optional per-line filter
+edges in Hz give that line its own response — distinct (mode, low, high)
+combinations become separate demod groups, reproducing the reference's
+per-receiver filter granularity), or --channels N spread evenly.
 
 Usage:
   python -m ka9q_sdr_tpu.apps.bankd --iq-file wide.iq -r 24576000 \\
@@ -36,23 +39,69 @@ __all__ = ["main", "BankDaemon", "MultiBankDaemon"]
 
 
 def read_channel_file(path: str, default_mode: str = "FM"):
-    """Channel file: one ``frequency [mode]`` per line.  Returns
-    [(mode, [freqs...])] groups preserving first-seen mode order."""
-    groups: dict[str, list[float]] = {}
-    order: list[str] = []
+    """Channel file: one ``frequency [mode [low high]]`` per line.
+
+    Optional per-line filter edges (Hz at the audio rate, the modes.txt
+    convention) give that line's channels their own frequency response:
+    every distinct (mode, low, high) becomes its own demod group, so the
+    bank reproduces the reference's per-receiver filter granularity
+    (each `radio` process owns its edges, main.c:113-128 + set_filter)
+    down to single-channel groups — see PARITY.md #8.  Returns
+    [(mode_or_ModeDef, [freqs...])] groups preserving first-seen order;
+    custom-edge groups carry a ModeDef with the edges applied."""
+    from dataclasses import replace as dc_replace
+
+    from ..utils.modes import DEFAULT_MODES
+
+    groups: dict[tuple, list[float]] = {}
+    order: list[tuple] = []
+    mdefs: dict[tuple, object] = {}
     with open(path) as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.split("#", 1)[0].strip()
             if not line:
                 continue
             parts = line.split()
+            if len(parts) not in (1, 2, 4):
+                raise ValueError(
+                    f"{path}:{ln}: expected 'frequency [mode [low high]]', "
+                    f"got {line!r}"
+                )
             freq = parse_frequency(parts[0])
             mode = parts[1].upper() if len(parts) > 1 else default_mode.upper()
-            if mode not in groups:
-                groups[mode] = []
-                order.append(mode)
-            groups[mode].append(freq)
-    return [(m, groups[m]) for m in order]
+            key = (mode, None, None)
+            mdef: object = mode
+            if len(parts) == 4:
+                try:
+                    low, high = float(parts[2]), float(parts[3])
+                except ValueError:
+                    raise ValueError(
+                        f"{path}:{ln}: filter edges must be numbers (Hz), "
+                        f"got {parts[2]!r} {parts[3]!r}"
+                    ) from None
+                if not (np.isfinite(low) and np.isfinite(high)):
+                    raise ValueError(
+                        f"{path}:{ln}: non-finite filter edges"
+                    )
+                if high < low:          # modes.c:58 normalisation
+                    low, high = high, low
+                base = DEFAULT_MODES.get(mode)
+                if base is None:
+                    raise ValueError(
+                        f"{path}:{ln}: unknown mode {mode!r} with custom "
+                        f"edges (custom edges need a known base mode)"
+                    )
+                if (low, high) != (base.low, base.high):
+                    key = (mode, low, high)
+                    mdef = dc_replace(base, low=low, high=high)
+                # explicit edges equal to the mode's defaults fold into
+                # the default group (no duplicate response/demod batch)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+                mdefs[key] = mdef
+            groups[key].append(freq)
+    return [(mdefs[k], groups[k]) for k in order]
 
 
 def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
@@ -653,7 +702,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--samprate", type=float, default=24.576e6)
     p.add_argument("-m", "--mode", default="FM")
     p.add_argument("--channels", type=int, default=0)
-    p.add_argument("--channel-file", help="file of frequencies, one per line")
+    p.add_argument("--channel-file",
+                   help="file of 'frequency [mode [low high]]' lines; "
+                        "per-line edges give that channel its own filter")
     p.add_argument("--L", type=int, default=0)
     p.add_argument("--M", type=int, default=0)
     p.add_argument("--block-ms", type=float, default=20.0,

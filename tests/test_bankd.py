@@ -589,3 +589,77 @@ def test_hostile_numerics_do_not_kill_or_poison(tmp_path):
     assert np.all(np.isfinite(r.view(np.float64) if r.dtype.kind == 'c'
                               else r))
     np.testing.assert_array_equal(r, resp0)   # response untouched
+
+
+class TestChannelFileEdges:
+    """Per-line filter edges in the channel file: every distinct
+    (mode, low, high) becomes its own demod group, giving the bank the
+    reference's per-receiver filter granularity (PARITY.md #8)."""
+
+    def test_grouping_and_default_folding(self, tmp_path):
+        from ka9q_sdr_tpu.apps.bankd import read_channel_file
+        from ka9q_sdr_tpu.utils.modes import ModeDef
+
+        p = tmp_path / "ch.txt"
+        p.write_text(
+            "100k FM\n"
+            "200k FM\n"
+            "300k FM -4000 4000\n"       # custom edges -> own group
+            "400k USB\n"
+            "500k USB 100 3000\n"        # equals USB defaults -> folds in
+            "250k FM 4000 -4000\n"       # reversed edges normalise (modes.c:58)
+        )
+        groups = read_channel_file(str(p))
+        assert len(groups) == 3
+        m0, f0 = groups[0]
+        assert m0 == "FM" and f0 == [100e3, 200e3]
+        m1, f1 = groups[1]
+        assert isinstance(m1, ModeDef)
+        assert (m1.low, m1.high) == (-4000.0, 4000.0)
+        assert m1.demod == "FM" and f1 == [300e3, 250e3]
+        m2, f2 = groups[2]
+        assert m2 == "USB" and f2 == [400e3, 500e3]
+
+    def test_malformed_lines_fail_loud(self, tmp_path):
+        from ka9q_sdr_tpu.apps.bankd import read_channel_file
+
+        for bad in ("100k FM -4000\n",            # 3 tokens
+                    "100k FM low high\n",         # non-numeric edges
+                    "100k FM -inf 4000\n",        # non-finite
+                    "100k NOSUCH -4000 4000\n"):  # unknown base mode
+            p = tmp_path / "bad.txt"
+            p.write_text(bad)
+            with pytest.raises(ValueError):
+                read_channel_file(str(p))
+
+    def test_same_mode_groups_have_independent_responses(self, tmp_path):
+        """Two USB groups, wide (100-3000) and narrow (100-300): a 2.5 kHz
+        audio tone passes the wide channel and is stopped by the narrow
+        one (the 137-tap channel filter's transition is ~700 Hz wide at
+        this geometry, so the tone sits well into the stopband) —
+        per-channel bandwidth inside one bank."""
+        from ka9q_sdr_tpu.apps.bankd import read_channel_file
+        from ka9q_sdr_tpu.models.bank import MultiBank
+
+        p = tmp_path / "ch.txt"
+        f_wide, f_narrow = 100e3, 300e3
+        p.write_text(
+            f"{f_wide:.0f} USB\n"
+            f"{f_narrow:.0f} USB 100 300\n"
+        )
+        groups = read_channel_file(str(p))
+        assert len(groups) == 2
+        mb = MultiBank(groups, samprate=SAMPRATE, L=L, M=M)
+        outs = None
+        for b in range(8):
+            t = (b * L + np.arange(L)) / SAMPRATE
+            iq = (0.3 * np.exp(2j * np.pi * (f_wide + 2500.0) * t)
+                  + 0.3 * np.exp(2j * np.pi * (f_narrow + 2500.0) * t)
+                  ).astype(np.complex64)
+            outs = mb.process(iq)
+        wide = np.asarray(outs[0][0])[0].ravel()
+        narrow = np.asarray(outs[1][0])[0].ravel()
+        rms_w = np.sqrt(np.mean(wide**2))
+        rms_n = np.sqrt(np.mean(narrow**2))
+        assert rms_w > 0.03                      # tone present
+        assert rms_n < rms_w / 30                # >29 dB down in the stopband
