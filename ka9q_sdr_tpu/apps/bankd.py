@@ -641,9 +641,9 @@ def run_multibank(args, groups) -> int:
     mode, full TLV command plane (MultiBankDaemon).  --mesh shards every
     group's channel axis (groups padded per-group; padded rows never
     reach the wire).  Input: --iq-file recording or -I wideband RTP
-    multicast (Python assembler path — reorder/gap-fill/scale on the
-    host, dense blocks to the device; the native int16 fast path stays
-    with the single-mode flagship daemon)."""
+    multicast — via the native C++ engine (recvmmsg, resequencing,
+    gap zero-fill; packed float blocks) when available, else the Python
+    assembler path (--no-native forces it)."""
     d = MultiBankDaemon(args, groups)
     L = d.mb.cfgs[0].master.L
     last_status = 0.0
@@ -658,34 +658,58 @@ def run_multibank(args, groups) -> int:
             if args.blocks and d.blocks_done >= args.blocks:
                 break
     elif args.input:
-        from ..io.assembler import BlockAssembler
-
         # compile before joining the group so the first live packets are
         # not dropped while jit runs (mirrors the single-mode warm-up);
         # the warm-up block's (zero) audio is discarded, not emitted
         d.process_block(np.zeros(L, np.complex64))
         d.discard_pending()
         d.blocks_done = 0
-        sock = setup_mcast(args.input, output=False)
-        # bounded wait: commands must be handled even when the input
-        # stream stalls (mirrors the single-mode python path)
-        sock.settimeout(1.0)
-        asm = BlockAssembler(L)
-        while True:
-            d.poll_commands()
-            try:
-                asm.push(sock.recv(65536))
-            except OSError:   # timeout: fall through to status emit
-                pass
-            else:
-                for block in asm.blocks():
+        from ..native import NATIVE_AVAILABLE
+
+        if NATIVE_AVAILABLE and not args.no_native:
+            # native engine (recvmmsg + C resequencing/gap-fill): its
+            # packed (L, 2) float32 blocks drop straight into
+            # MultiBank.process's 2-D fast path — same engine the
+            # single-mode flagship uses, which matters on 1-core hosts
+            from ..native import RTPReceiver
+
+            host, _, port = args.input.partition(":")
+            rx = RTPReceiver(host, int(port or 5004), block_len=L)
+            while True:
+                d.poll_commands()
+                block = rx.get_block(1000)
+                if block is not None:
                     d.process_block(block)
-            now = time.monotonic()
-            if now - last_status >= 0.1:
-                d.emit_status()
-                last_status = now
-            if args.blocks and d.blocks_done >= args.blocks:
-                break
+                now = time.monotonic()
+                if now - last_status >= 0.1:
+                    d.emit_status()
+                    last_status = now
+                if args.blocks and d.blocks_done >= args.blocks:
+                    break
+            rx.close()
+        else:
+            from ..io.assembler import BlockAssembler
+
+            sock = setup_mcast(args.input, output=False)
+            # bounded wait: commands must be handled even when the input
+            # stream stalls (mirrors the single-mode python path)
+            sock.settimeout(1.0)
+            asm = BlockAssembler(L)
+            while True:
+                d.poll_commands()
+                try:
+                    asm.push(sock.recv(65536))
+                except OSError:   # timeout: fall through to status emit
+                    pass
+                else:
+                    for block in asm.blocks():
+                        d.process_block(block)
+                now = time.monotonic()
+                if now - last_status >= 0.1:
+                    d.emit_status()
+                    last_status = now
+                if args.blocks and d.blocks_done >= args.blocks:
+                    break
     else:
         print("need --iq-file or -I", file=sys.stderr)
         return 1

@@ -663,3 +663,74 @@ class TestChannelFileEdges:
         rms_n = np.sqrt(np.mean(narrow**2))
         assert rms_w > 0.03                      # tone present
         assert rms_n < rms_w / 30                # >29 dB down in the stopband
+
+
+@pytest.mark.skipif(
+    not __import__("ka9q_sdr_tpu.native", fromlist=["NATIVE_AVAILABLE"]
+                   ).NATIVE_AVAILABLE,
+    reason="no C++ toolchain",
+)
+def test_multibank_native_ingest(tmp_path):
+    """Mixed-mode daemon over the NATIVE RTP engine (-I without
+    --no-native): the C++ recvmmsg/resequencing path feeds packed float
+    blocks straight into MultiBank — same demod result as the Python
+    assembler path."""
+    import threading
+
+    from ka9q_sdr_tpu.apps.bankd import run_multibank, build_parser
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+    IN_GROUP = "239.88.7.5:5204"
+    OUT_GROUP = "239.88.7.6:5204"
+    n_blocks = 10
+    argv = ["-I", IN_GROUP, "-R", OUT_GROUP, "-r", str(SAMPRATE),
+            "--L", str(L), "--M", str(M),
+            "--pcm-raw", str(tmp_path / "mb_nat.pcm"),
+            "--blocks", str(n_blocks)]
+    args = build_parser().parse_args(argv)
+    f_am, f_usb = 100e3, -200e3
+    groups = [("AM", [f_am]), ("USB", [f_usb])]
+
+    rc = {}
+
+    def daemon():
+        rc["rc"] = run_multibank(args, groups)
+
+    th = threading.Thread(target=daemon, daemon=True)
+    th.start()
+
+    tx = setup_mcast(IN_GROUP, output=True)
+    seq = 0
+    deadline = time.time() + 120.0
+    while th.is_alive() and time.time() < deadline:
+        tt = (seq * 240 + np.arange(240)) / SAMPRATE
+        sig = _am(f_am, tt) + 0.2 * np.exp(2j * np.pi * (f_usb + 1e3) * tt)
+        pay = np.empty(480, np.int16)
+        pay[0::2] = np.clip(sig.real * 32767, -32768, 32767)
+        pay[1::2] = np.clip(sig.imag * 32767, -32768, 32767)
+        hdr = RTPHeader(type=IQ_PT, seq=seq & 0xFFFF, timestamp=seq * 240,
+                        ssrc=7)
+        tx.send(hdr.to_bytes() + b"\x00" * 24 + pay.tobytes())
+        seq += 1
+        if seq % 16 == 0:
+            time.sleep(0.01)
+        th.join(timeout=0.0)
+    th.join(timeout=10.0)
+    assert not th.is_alive(), "daemon did not finish"
+    assert rc.get("rc") == 0
+
+    l_dec = L // 32
+    r = np.frombuffer(open(tmp_path / "mb_nat.pcm", "rb").read(), "<i2")
+    r = r.reshape(-1, 2, l_dec)
+    assert r.shape[0] == n_blocks
+    half = n_blocks // 2
+    am = r[half:, 0].ravel().astype(np.float64)
+    usb = r[half:, 1].ravel().astype(np.float64)
+    am -= am.mean()
+    for x, f0, name in ((am, 400.0, "AM"), (usb, 1000.0, "USB")):
+        assert np.sqrt((x**2).mean()) > 200, f"{name} silent"
+        X = np.abs(np.fft.rfft(x)) ** 2
+        k = int(round(f0 * len(x) / 48000))
+        band = X[max(0, k - 3): k + 4].sum()
+        assert band > 0.5 * X.sum(), f"{name} tone not dominant"
