@@ -486,6 +486,39 @@ class MultiBankDaemon:
                 row.append(PCMOutput(send=self._sender(), ssrc=ssrc))
                 ssrc += 1
             self.pcms.append(row)
+        # Native per-group PCM fan-out (mirrors BankDaemon): group SSRCs
+        # are sequential, so each group gets one PCMFanoutSender with its
+        # first SSRC as base.  The host quantises float audio in one
+        # numpy op; the C engine does byteswap/packetisation/silence
+        # suppression/markers — the per-channel Python loop is the 1-core
+        # host's serving cost.
+        self.native_fan = [None] * len(self.pcms)
+        if args.output and not getattr(args, "no_native", False):
+            try:
+                from ..native import PCMFanoutSender
+                import socket as _socket
+
+                name, port = args.output.rsplit(":", 1)
+                addr = _socket.gethostbyname(name)
+                base = 1
+                for g, (row, cfg) in enumerate(zip(self.pcms, self.mb.cfgs)):
+                    # FM/AM demodulate to mono regardless of the mode
+                    # table's channel default; LINEAR honours it
+                    nch = (cfg.mode.channels
+                           if cfg.mode.demod == "LINEAR" else 1)
+                    self.native_fan[g] = PCMFanoutSender(
+                        addr, int(port), ttl=args.ttl, ssrc_base=base,
+                        max_channels=len(row), channels=nch,
+                    )
+                    base += len(row)
+            except Exception as e:
+                # never fall back silently: on the 1-core host the C++
+                # fan-out is the difference between realtime and
+                # oversubscription (CLAUDE.md)
+                print(f"bankd: native PCM fan-out unavailable ({e!r}); "
+                      "falling back to the per-channel Python loop",
+                      file=sys.stderr, flush=True)
+                self.native_fan = [None] * len(self.pcms)
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.commands = 0
         self.blocks_done = 0
@@ -617,13 +650,21 @@ class MultiBankDaemon:
             self._pending = None
 
     def _emit(self, outs) -> None:
+        from ..io.pcm import scaleclip_int16
+
         for g, ((audio, diag), row) in enumerate(zip(outs, self.pcms)):
             a = np.asarray(audio)[: len(row)]   # drop mesh-padding rows
-            for ch, out in enumerate(row):
-                if a.ndim == 3:
-                    out.send_stereo(a[ch])
-                else:
-                    out.send_mono(a[ch])
+            fan = self.native_fan[g]
+            if fan is not None:
+                pcm = scaleclip_int16(a)
+                # (B, L_dec[, 2]) -> (B, L_dec*nch) interleaved frames
+                fan.send_block(pcm.reshape(pcm.shape[0], -1))
+            else:
+                for ch, out in enumerate(row):
+                    if a.ndim == 3:
+                        out.send_stereo(a[ch])
+                    else:
+                        out.send_mono(a[ch])
             if self.raw is not None:
                 self.raw.write(np.clip(a * 32767, -32768, 32767)
                                .astype("<i2").tobytes())
@@ -632,6 +673,9 @@ class MultiBankDaemon:
 
     def close(self) -> None:
         self.flush()
+        for fan in self.native_fan:
+            if fan is not None:
+                fan.close()
         if self.raw:
             self.raw.close()
 

@@ -700,6 +700,12 @@ def test_multibank_native_ingest(tmp_path):
     th = threading.Thread(target=daemon, daemon=True)
     th.start()
 
+    # wire PCM listener: the native per-group fan-out must emit RTP PCM
+    # with the same sequential SSRC numbering as the Python PCMOutput path
+    pcm_rx = setup_mcast(OUT_GROUP, output=False)
+    pcm_rx.settimeout(0.0)
+    seen_ssrcs = {}
+
     tx = setup_mcast(IN_GROUP, output=True)
     seq = 0
     deadline = time.time() + 120.0
@@ -715,6 +721,12 @@ def test_multibank_native_ingest(tmp_path):
         seq += 1
         if seq % 16 == 0:
             time.sleep(0.01)
+        try:
+            while True:
+                h, _ = RTPHeader.from_bytes(pcm_rx.recv(9000))
+                seen_ssrcs[h.ssrc] = h.type
+        except OSError:
+            pass
         th.join(timeout=0.0)
     th.join(timeout=10.0)
     assert not th.is_alive(), "daemon did not finish"
@@ -734,3 +746,7 @@ def test_multibank_native_ingest(tmp_path):
         k = int(round(f0 * len(x) / 48000))
         band = X[max(0, k - 3): k + 4].sum()
         assert band > 0.5 * X.sum(), f"{name} tone not dominant"
+    # fan-out wire check: AM channel is SSRC 1, USB channel SSRC 2, both
+    # mono PCM (PT 11, multicast.h:19-24)
+    assert seen_ssrcs.get(1) == 11, seen_ssrcs
+    assert seen_ssrcs.get(2) == 11, seen_ssrcs
