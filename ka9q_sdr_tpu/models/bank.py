@@ -220,7 +220,16 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
         raise ValueError(f"need {B} frequencies, got {len(freqs_hz)}")
     N = cfg.N
     ks, ncos = [], []
-    for f in freqs_hz:
+    for i, f in enumerate(freqs_hz):
+        if not np.isfinite(f) or abs(f) > cfg.samprate / 2:
+            # k % N would silently alias an out-of-span tune onto some
+            # in-band bin (misconfig presenting as a garbled channel —
+            # fail loud instead, like every other config error here)
+            raise ValueError(
+                f"channel {i}: frequency {f!r} Hz outside the "
+                f"+-{cfg.samprate / 2:.0f} Hz span of a "
+                f"{cfg.samprate:.0f} S/s bank"
+            )
         nu = f / cfg.samprate
         k = int(np.round(nu * N))
         delta = nu - k / N
@@ -606,6 +615,15 @@ def bank_tune(
         # uint32 add wraps mod 2^32 = phase mod 1 cycle (ops.nco)
         return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
 
+    if not np.isfinite(freq_hz) or abs(freq_hz) > cfg.samprate / 2:
+        # same loud contract as bank_init: never alias an out-of-span
+        # retune onto an in-band bin (daemons catch ValueError and drop
+        # the command, radio_status.c's silent-clamp has no equivalent)
+        raise ValueError(
+            f"retune to {freq_hz!r} Hz outside the "
+            f"+-{cfg.samprate / 2:.0f} Hz span of a "
+            f"{cfg.samprate:.0f} S/s bank"
+        )
     nu = freq_hz / cfg.samprate
     k = int(np.round(nu * cfg.N))
     delta = nu - k / cfg.N

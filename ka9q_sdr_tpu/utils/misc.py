@@ -77,6 +77,11 @@ def parse_frequency(s: str) -> float:
     ``12345`` = 12345 Hz; ``12k345`` = 12.345 kHz; ``12m345`` = 12.345 MHz;
     ``12g345`` = 12.345 GHz.  Without a suffix, small numbers get a
     heuristic kHz/MHz guess assuming 100 kHz - 2 GHz coverage.
+
+    The heuristic applies to the MAGNITUDE: bank channels are baseband
+    offsets that are legitimately negative (``-200000`` = -200 kHz,
+    ``-50`` = -50 MHz), a case display.c never sees; comparing the
+    signed value would shunt every negative entry into the x1e6 branch.
     """
     ss = s.lower()
     mult = 1.0
@@ -99,14 +104,15 @@ def parse_frequency(s: str) -> float:
         return 0.0
     if f == 0:
         return 0.0
+    sign, f = (-1.0, -f) if f < 0 else (1.0, f)
     if mult != 1.0 or f >= 1e5:
-        return f * mult
+        return sign * f * mult
     if f < 100:
-        return f * 1e6
+        return sign * f * 1e6
     if f < 500:
-        return f * 1e6
+        return sign * f * 1e6
     if f < 2000:
-        return f * 1e3
+        return sign * f * 1e3
     if f < 100000:
-        return f * 1e3
-    return f
+        return sign * f * 1e3
+    return sign * f

@@ -152,6 +152,20 @@ class TestParseFrequency:
         assert parse_frequency("120000") == 120000.0  # >= 1e5 as-is
         assert parse_frequency("48k") == 48000.0
 
+    def test_negative_entries_keep_the_magnitude_heuristic(self):
+        """Bank channels are baseband offsets: negative entries are legal
+        and must parse like their positive twins with the sign kept (a
+        signed comparison would turn -200000 Hz into -2e11 Hz — found by
+        a real-TPU drive where the channel-file USB channel at -200 kHz
+        silently aliased to a garbled in-band bin)."""
+        from ka9q_sdr_tpu.utils.misc import parse_frequency
+
+        assert parse_frequency("-200000") == -200000.0
+        assert parse_frequency("-200k") == -200000.0
+        assert parse_frequency("-50") == -50e6
+        assert parse_frequency("-12345") == -12345e3
+        assert parse_frequency("-147m435") == -147.435e6
+
 
 class TestSpectrumExtension:
     def test_psd_rides_the_status_stream(self):

@@ -233,6 +233,28 @@ class TestBank:
         assert a.shape[0] == 4
         assert abs(tone_freq(a[2]) - 400.0) < 5.0
 
+    def test_out_of_span_frequency_fails_loud(self):
+        """bank_init/bank_tune must reject |f| > samprate/2 instead of
+        letting k % N alias it onto an in-band bin (a -2e11 Hz channel —
+        the old signed parse_frequency heuristic's output for '-200000' —
+        used to build fine and demodulate garbage)."""
+        import pytest
+
+        from ka9q_sdr_tpu.models.bank import (
+            make_bank_config, bank_init, bank_tune,
+        )
+
+        fs = 1.536e6
+        cfg = make_bank_config(2, "USB", samprate=fs, L=30720, M=34817)
+        with pytest.raises(ValueError, match="outside"):
+            bank_init(cfg, [-200e9, 100e3])
+        with pytest.raises(ValueError, match="outside"):
+            bank_init(cfg, [float("nan"), 100e3])
+        st = bank_init(cfg, [-200e3, 100e3])
+        with pytest.raises(ValueError, match="outside"):
+            bank_tune(cfg, st, 0, fs)          # beyond +-fs/2
+        bank_tune(cfg, st, 0, -fs / 2)         # edge is legal
+
     def test_swap_filter_response_keeps_complex_state_form(self):
         """swap_filter_response on a RAW bank_init state (complex resp
         leaf) must keep it complex (regression: it always packed c2r into
