@@ -223,7 +223,7 @@ class FrontEndDaemon:
         try:
             self.status_sock.send(
                 self.compactor.compact(bytes(pkt),
-                                       force=self.status_count % 10 == 0)
+                                       force=self.status_count % 10 == 1)
             )
         except OSError:
             pass

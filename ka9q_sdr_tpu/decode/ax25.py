@@ -20,7 +20,7 @@ __all__ = [
     "frame_to_tnc2",
 ]
 
-MAX_DIGI = 8
+MAX_DIGI = 10       # ax25.h:12 (differentially verified vs the C)
 CRC_POLY = 0x8408
 
 
@@ -32,6 +32,9 @@ def get_callsign(field6: bytes) -> str:
         if c == " ":
             break
         call += c
+    # the C's snprintf("%s-%d", ...) stops at an embedded NUL
+    # (ax25.c:26-29); differentially verified against the compiled C
+    call = call.split("\0", 1)[0]
     ssid = (field6[6] >> 1) & 0xF
     return f"{call}-{ssid}" if ssid else call
 
@@ -112,24 +115,31 @@ def ax25_parse(data: bytes) -> AX25Frame | None:
     ctl_offs += 1
     if ctl_offs % 7:
         return None
+    # ndigi may be -1 (address end flag inside the dest field): the C
+    # accepts such frames with an empty digipeater list and source read
+    # from the control area (ax25.c:185-199; differentially verified) —
+    # only MORE than MAX_DIGI digis is rejected
     ndigi = ctl_offs // 7 - 2
-    if ndigi > MAX_DIGI or ndigi < 0:
+    if ndigi > MAX_DIGI:
+        return None
+    # compute the info length FIRST: when negative the C rejects before
+    # its control/type reads matter, and checking here keeps the indexing
+    # below in bounds (ctl_offs + 2 + info_len == len - 2)
+    info_len = len(data) - (ctl_offs + 2) - 2
+    if info_len < 0:
         return None
     out = AX25Frame(
         source=get_callsign(data[7:14]),
         dest=get_callsign(data[0:7]),
         dest_raw=bytes(data[0:7]),
     )
-    for i in range(ndigi):
+    for i in range(max(0, ndigi)):
         off = 7 * (2 + i)
         out.digipeaters.append(
             (get_callsign(data[off : off + 7]), bool(data[off + 6] & 0x80))
         )
     out.control = data[ctl_offs]
     out.type = data[ctl_offs + 1]
-    info_len = len(data) - (ctl_offs + 2) - 2
-    if info_len < 0:
-        return None
     out.information = bytes(data[ctl_offs + 2 : ctl_offs + 2 + info_len])
     return out
 

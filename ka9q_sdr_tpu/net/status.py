@@ -14,6 +14,8 @@ from __future__ import annotations
 import enum
 import struct
 
+import numpy as _np
+
 __all__ = [
     "StatusType",
     "encode_int",
@@ -96,6 +98,10 @@ class StatusType(enum.IntEnum):
     AGC_HANGTIME = 105   # float, seconds
     SAVE_STATE = 106     # command: write the ~/.radiostate file now
     #                      (the in-process display 'w' key, over the wire)
+    COMMAND_REJECTS = 107  # count of commands dropped as invalid (NaN/
+    #                      out-of-span retunes, nonsense filter edges);
+    #                      the reference leaves the receiver visibly
+    #                      untouched, a network daemon must say WHY
 
 
 def encode_int(buf: bytearray, type_: int, x: int) -> int:
@@ -148,9 +154,12 @@ def decode_int(value: bytes) -> int:
 
 
 def decode_float(value: bytes) -> float:
-    """decode_float (status.c:134-140); an 8-byte value is a double."""
+    """decode_float (status.c:134-140); an 8-byte value is a double,
+    narrowed through C float — out-of-range doubles become ±inf exactly
+    as the C's (float) cast does."""
     if len(value) == 8:
-        return decode_double(value)
+        with _np.errstate(over="ignore"):     # out-of-range -> inf, silently
+            return float(_np.float32(decode_double(value)))
     (f,) = struct.unpack(
         ">f", struct.pack(">I", decode_int(value) & 0xFFFFFFFF)
     )
@@ -203,7 +212,9 @@ class StatusCompactor:
     def compact(self, pkt: bytes, force: bool = False) -> bytes:
         out = bytearray([pkt[0]])
         for t, v in decode_packet(pkt[1:]):
-            if force or self._table.get(t) != v:
+            # the C's shadow table starts zeroed (length 0), so a
+            # zero-length value is "unchanged" on first sight
+            if force or self._table.get(t, b"") != v:
                 self._table[t] = v
                 out.append(t)
                 out.append(len(v))
