@@ -70,7 +70,11 @@ __all__ = [
     "bank_channelize",
     "bank_demod",
     "bank_tune",
+    "bank_recenter",
+    "bank_set_doppler",
 ]
+
+_TWO32 = float(2**32)
 
 
 class BankConfig(NamedTuple):
@@ -267,6 +271,83 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
     )
 
 
+def _mul_mod_n(s: jax.Array, c: int, N: int) -> jax.Array:
+    """(s * c) mod N for traced int32 s (|s| < N <= 2^21) and host
+    constant c in [0, N), without int32 overflow: split s into three
+    7-bit limbs so every partial product stays below 2^29 (a one-shot
+    doppler steer far from the current k can make |s| large for one
+    block; steady-state hops are +-1)."""
+    a = s // (128 * 128)
+    rem = s - a * (128 * 128)
+    b = rem // 128
+    c_lo = rem - b * 128
+    t_a = (c * 128 * 128) % N
+    t_b = (c * 128) % N
+    return (a * jnp.int32(t_a) + b * jnp.int32(t_b)
+            + c_lo * jnp.int32(c)) % jnp.int32(N)
+
+
+def bank_recenter(cfg: BankConfig, state: BankState) -> BankState:
+    """Scheduled integer-k re-centering for swept (Doppler-steered)
+    channels, in-jit — the bank analog of the reference's per-sample
+    sweep LO (osc.c phasor_step_step applied in radio.c:132-136).
+
+    A bank channel's downconversion is a bin rotation by k plus a
+    residual NCO (module docstring).  A Doppler sweep accumulates into
+    the residual NCO frequency (ops.nco osc_advance folds rate into freq
+    every block); once the residual drifts past 3/4 of a master bin the
+    channel's signal sits measurably off-center in the SHARED response,
+    so this hops k by the whole-bin excess s, phase-continuously:
+
+    - k += s and dr += s*L mod N; the carried residue r gets the exact
+      integer adjustment r -= s*(M-1) mod N, which makes the block phase
+      CONTINUOUS at the hop boundary: the chunk-relative rotation by k
+      carries a -k*(M-1) alignment term inside r (bank_init's r_0), so
+      switching k without re-aligning would jump the LO phase by
+      s*(M-1)/N cycles;
+    - the NCO frequency gives back s bins (fq += s/N_dec, split exactly
+      into the fixed-point word + f32 residual);
+    - the group-delay phase correction for the delta change
+      (_residual_phase_cycles: ddelta = -s/N) lands on phase_resid, which
+      osc_advance folds mod 1 exactly next block.
+
+    The 0.75-bin hysteresis keeps statically-tuned channels (|delta| <=
+    half a bin by construction) from ever hopping; swept channels hop at
+    most once every few blocks (170 Hz/s worst-case LEO sweep x 20 ms =
+    3.4 Hz/block vs 23 Hz bins at flagship geometry).  Elementwise on
+    (B,) leaves — negligible next to the master FFT, and shards trivially.
+    """
+    N, N_dec = cfg.N, cfg.N_dec
+    nco = state.nco
+    fw = jax.lax.bitcast_convert_type(nco.freq, jnp.int32)
+    fq = (fw.astype(jnp.float32) * jnp.float32(1.0 / _TWO32)
+          + nco.freq_resid)                      # cycles/dec-sample
+    x = -fq * jnp.float32(N_dec)                 # bins above k
+    s = jnp.where(jnp.abs(x) > 0.75,
+                  jnp.round(x).astype(jnp.int32), jnp.int32(0))
+    k_new = (state.k + s) % jnp.int32(N)
+    dr_new = (state.dr + _mul_mod_n(s, cfg.master.L % N, N)) % jnp.int32(N)
+    r_new = (state.r - _mul_mod_n(s, (cfg.master.M - 1) % N, N)) \
+        % jnp.int32(N)
+    hi1, res1 = split_double(1.0 / N_dec)
+    freq_new = nco.freq + s.astype(jnp.uint32) * jnp.uint32(hi1)
+    resid_new = nco.freq_resid + s.astype(jnp.float32) * jnp.float32(res1)
+    # dcorr = -s*Dhalf/N cycles (group-delay correction, exact int mod)
+    d_half = (cfg.master.M - 1) // 2
+    ph_cycles = _mul_mod_n(-s, d_half % N, N).astype(jnp.float32) \
+        * jnp.float32(1.0 / N)
+    return state._replace(
+        k=k_new,
+        dr=dr_new,
+        r=r_new,
+        nco=nco._replace(
+            freq=freq_new,
+            freq_resid=resid_new,
+            phase_resid=nco.phase_resid + ph_cycles,
+        ),
+    )
+
+
 def bank_channelize(
     cfg: BankConfig,
     state: BankState,
@@ -456,6 +537,7 @@ def bank_step(
     (state, audio, diag); audio is (B, L_dec) float32 (mono modes)."""
     samp = iq_block * state.gain_factor
     overlap, fdomain = master_execute(cfg.master, state.overlap, samp)
+    state = bank_recenter(cfg, state)   # k-hops for swept channels
     new_r, new_nco, baseband = bank_channelize(cfg, state, fdomain)
     dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
 
@@ -630,8 +712,10 @@ def bank_tune(
     hi, resid = split_double(-delta * cfg.decimate)
     if old_freq_hz is not None:
         nu_o = old_freq_hz / cfg.samprate
-        old_delta = nu_o - int(np.round(nu_o * cfg.N)) / cfg.N
+        k_old = int(np.round(nu_o * cfg.N))
+        old_delta = nu_o - k_old / cfg.N
     else:
+        k_old = int(np.asarray(state.k)[channel])   # same-fetch path
         w = int(np.asarray(state.nco.freq)[channel])
         if w >= 1 << 31:
             w -= 1 << 32
@@ -648,11 +732,112 @@ def bank_tune(
         phase_resid=_add(state.nco.phase_resid, np.float32(phi_resid)),
     )
     km = k % cfg.N
+    # LO phase continuity across the bin-shift change (osc.c:24-27
+    # semantics): the carried residue r embeds a -k*(M-1) alignment term
+    # (bank_init's r_0), so switching k needs the exact integer
+    # adjustment r -= (k-k_old)*(M-1) mod N or the block phase jumps by
+    # (k-k_old)*(M-1)/N cycles at the next block (same fix as
+    # bank_recenter; host int math, no overflow concerns).
+    s_k = (km - (k_old % cfg.N))
+    r_adj = int((-s_k * (cfg.master.M - 1)) % cfg.N)
+    new_r = _resharded(
+        state.r,
+        (jnp.asarray(state.r).at[channel].add(r_adj)) % jnp.int32(cfg.N),
+    )
     return state._replace(
         k=_set(state.k, km),
         dr=_set(state.dr, int(km * cfg.master.L % cfg.N)),
+        r=new_r,
         nco=new_nco,
     )
+
+
+def bank_set_doppler(
+    cfg: BankConfig,
+    state: BankState,
+    channel: int,
+    base_freq_hz: float,
+    doppler_hz: float = 0.0,
+    rate_hz_s: float = 0.0,
+) -> BankState:
+    """Doppler-steer one bank channel (set_doppler, radio.c:180-198 +
+    doppler.c:63-66, at bank scale): set its instantaneous frequency to
+    base + doppler and its sweep rate, phase-continuously, WITHOUT
+    rewriting k — the in-jit bank_recenter hops k as the sweep drifts.
+
+    Host math touches only small device scalars (no fetch): the new
+    residual frequency is computed relative to the channel's CURRENT k
+    (which recenter may have moved), the group-delay phase correction
+    from the CURRENT NCO frequency.  Frequency resolution is the f32
+    residual, ~2 mHz at 48 kHz output — the reference's double phasor is
+    finer, but 2 mHz is far below the 0.09 Hz PL/CW analysis resolution.
+
+    The sweep itself rides ops.nco: `rate` (cycles/dec-sample^2)
+    accumulates into the NCO frequency every block (osc_advance), exactly
+    the reference's phasor_step_step semantics (osc.c:39-51).
+
+    Group-delay alignment: the reference mixes its doppler NCO BEFORE the
+    filter (radio.c:132-136), so oscillator and signal share a time base;
+    the bank's residual NCO runs after, where the signal is delayed by
+    the filter's (M-1)/2-sample group delay.  During a sweep that lag
+    shows up as a constant frequency error rate*(M-1)/(2*fs) (28 Hz at a
+    20 kHz/s sweep through the default geometry — measured before this
+    correction), so the steer targets f(t - delay).
+    """
+    doppler_hz = doppler_hz - rate_hz_s * (cfg.master.M - 1) / (
+        2.0 * cfg.samprate
+    )
+    f_total = base_freq_hz + doppler_hz
+    if not np.isfinite(f_total) or not np.isfinite(rate_hz_s) or \
+            abs(f_total) > cfg.samprate / 2:
+        raise ValueError(
+            f"doppler steer to {f_total!r} Hz (rate {rate_hz_s!r} Hz/s) "
+            f"outside the +-{cfg.samprate / 2:.0f} Hz span"
+        )
+    N, N_dec = cfg.N, cfg.N_dec
+    dsr = cfg.dsamprate
+
+    def _resharded(arr_in, out):
+        sh = getattr(arr_in, "sharding", None)
+        if sh is not None and out.sharding != sh:
+            out = jax.device_put(out, sh)
+        return out
+
+    def _set(arr, val):
+        return _resharded(arr, jnp.asarray(arr).at[channel].set(val))
+
+    def _add(arr, val):
+        return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
+
+    # target position in master bins, split exactly on the host
+    b = np.float64(f_total) / cfg.samprate * N
+    b_int = int(np.round(b))
+    b_frac = float(b - b_int)                  # |b_frac| <= 0.5, exact f64
+    # signed wrapped distance from the channel's current k (device scalar)
+    k_ch = jnp.asarray(state.k)[channel]
+    d = (jnp.int32(b_int % N) - k_ch) % jnp.int32(N)
+    d = jnp.where(d > N // 2, d - N, d)
+    excess = d.astype(jnp.float32) + jnp.float32(b_frac)   # bins above k
+    fq_new = -excess * jnp.float32(1.0 / N_dec)  # cycles/dec-sample
+    # group-delay phase correction for the frequency jump:
+    # ddelta = -(fq_new - fq_old)/decimate, dcorr = ddelta*(M-1)/2 cycles
+    nco = state.nco
+    fw = jax.lax.bitcast_convert_type(jnp.asarray(nco.freq)[channel],
+                                      jnp.int32)
+    fq_old = (fw.astype(jnp.float32) * jnp.float32(1.0 / _TWO32)
+              + jnp.asarray(nco.freq_resid)[channel])
+    dcorr = (fq_old - fq_new) * jnp.float32(
+        (cfg.master.M - 1) / 2.0 / cfg.decimate
+    )
+    dcorr = dcorr - jnp.round(dcorr)           # phase is mod 1 cycle
+    rate_dec = -rate_hz_s / (dsr * dsr)        # cycles/dec-sample^2
+    new_nco = nco._replace(
+        freq=_set(nco.freq, jnp.uint32(0)),
+        freq_resid=_set(nco.freq_resid, fq_new),
+        rate=_set(nco.rate, np.float32(rate_dec)),
+        phase_resid=_add(nco.phase_resid, dcorr),
+    )
+    return state._replace(nco=new_nco)
 
 
 def swap_filter_response(
@@ -903,6 +1088,33 @@ class ChannelBank:
             kaiser_beta=kaiser_beta,
         )
 
+    def set_doppler(self, channel: int, doppler_hz: float,
+                    rate_hz_s: float) -> None:
+        """Doppler-steer one channel (set_doppler, radio.c:180-198):
+        instantaneous offset + sweep rate on top of the channel's base
+        frequency (self.freqs, which retunes keep authoritative)."""
+        self.state = bank_set_doppler(
+            self.cfg, self.state, channel, self.freqs[channel],
+            doppler_hz=doppler_hz, rate_hz_s=rate_hz_s,
+        )
+
+    def steer_adapter(self, channel: int):
+        """A per-channel facade with the Receiver steering interface
+        (.tune_freq / .set_doppler), so models.doppler.DopplerSteerer can
+        drive one bank channel from an ephemeris command exactly like a
+        reference `radio -d` instance."""
+        bank = self
+
+        class _Chan:
+            @property
+            def tune_freq(self):
+                return bank.freqs[channel]
+
+            def set_doppler(self, f, r):
+                bank.set_doppler(channel, f, r)
+
+        return _Chan()
+
 
 class MultiBank:
     """Mixed-mode channel bank: several demod groups sharing ONE wideband
@@ -977,7 +1189,7 @@ class MultiBank:
             st0 = tree_r2c(states_r[0], templates[0])
             overlap, fdomain = master_execute(master, st0.overlap, x)
             for cfg, s_r, tmpl in zip(cfgs, states_r, templates):
-                s = tree_r2c(s_r, tmpl)
+                s = bank_recenter(cfg, tree_r2c(s_r, tmpl))
                 new_r, new_nco, bb = bank_channelize(cfg, s, fdomain)
                 ds, audio, diag = bank_demod(cfg, s.demod, bb)
                 ns = s._replace(
@@ -1034,6 +1246,16 @@ class MultiBank:
             old_freq_hz=old,
         )
         self.group_freqs[group][idx] = freq_hz
+
+    def set_doppler(self, group: int, idx: int, doppler_hz: float,
+                    rate_hz_s: float) -> None:
+        """Doppler-steer one channel of one group (ChannelBank.set_doppler
+        semantics on the group's state)."""
+        self.states[group] = bank_set_doppler(
+            self.cfgs[group], self.states[group], idx,
+            self.group_freqs[group][idx],
+            doppler_hz=doppler_hz, rate_hz_s=rate_hz_s,
+        )
 
     def set_filter(
         self,

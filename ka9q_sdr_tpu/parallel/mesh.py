@@ -171,7 +171,8 @@ def _bank_step_packed_dfft(
     position comb_index[b].  ingest/pcm_out as in make_sharded_bank_step."""
     import jax.numpy as jnp
 
-    from ..models.bank import BankState, bank_channelize, bank_demod
+    from ..models.bank import (BankState, bank_channelize, bank_demod,
+                               bank_recenter)
     from ..ops.packing import tree_c2r, tree_r2c, r2c
     from .dfft import comb_index, make_dfft_sm
 
@@ -194,6 +195,7 @@ def _bank_step_packed_dfft(
         buf = jnp.concatenate([state.overlap, samp], axis=-1)
         new_overlap = buf[..., L:]
         comb = dfft_fn(buf)   # (N,) comb-major, sharded over the mesh
+        state = bank_recenter(cfg, state)   # k-hops for swept channels
         new_r, new_nco, baseband = bank_channelize(
             cfg, state, comb, bin_perm=perm
         )

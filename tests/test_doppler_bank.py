@@ -1,0 +1,228 @@
+"""Doppler steering at bank scale (VERDICT r3 missing #2).
+
+The reference's marquee result is holding a LEO cubesat CW carrier in a
+400 Hz filter AOS->LOS, open loop, via a swept oscillator
+(doppler.c:21-73, radio.c:180-198).  The bank's equivalent is the
+residual-NCO sweep (ops.nco `rate`) plus in-jit integer-k re-centering
+(models.bank.bank_recenter) — these tests drive a bank channel through a
+synthetic LEO profile with MANY master-bin crossings and require the
+recovered baseband to stay centered, amplitude-flat and phase-continuous
+through every k hop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ka9q_sdr_tpu.models.bank import (
+    bank_channelize,
+    bank_init,
+    bank_recenter,
+    bank_set_doppler,
+    make_bank_config,
+)
+from ka9q_sdr_tpu.ops.fftfilt import master_execute
+
+SAMPRATE = 1.536e6
+L, M = 3840, 4353            # N=8192, decimate 32, N_dec=256, L_dec=120
+BIN_HZ = SAMPRATE / 8192     # 187.5 Hz per master bin
+
+
+def _swept_tone(n0, n, f0, rate_hz_s, fs=SAMPRATE, amp=0.5):
+    """Complex tone whose instantaneous frequency is f0 + rate*t,
+    with exact f64 phase: phi(t) = f0*t + rate*t^2/2."""
+    t = (n0 + np.arange(n, dtype=np.float64)) / fs
+    phase = f0 * t + 0.5 * rate_hz_s * t * t
+    return (amp * np.exp(2j * np.pi * phase)).astype(np.complex64)
+
+
+def _run_channelized(cfg, state, blocks):
+    """Feed blocks through master FFT + recenter + channelize, collecting
+    the (B, L_dec) complex baseband per block (demod bypassed: this
+    validates the conversion chain itself)."""
+    overlap = state.overlap
+    out = []
+    ks = []
+    for x in blocks:
+        overlap, fdomain = master_execute(cfg.master, overlap, jnp.asarray(x))
+        state = bank_recenter(cfg, state)
+        ks.append(int(np.asarray(state.k)[0]))
+        new_r, new_nco, bb = bank_channelize(cfg, state, fdomain)
+        state = state._replace(overlap=overlap, r=new_r, nco=new_nco)
+        out.append(np.asarray(bb))
+    return state, np.concatenate(out, axis=-1), ks
+
+
+class TestBankDoppler:
+    def test_sweep_tracks_through_k_crossings(self):
+        """A -20 kHz/s sweep crosses ~32 master bins in 0.3 s; with
+        doppler steering the recovered baseband must stay a DC-centered
+        constant tone: flat amplitude, phase-continuous, residual ~0."""
+        cfg = make_bank_config(2, "IQ", samprate=SAMPRATE, L=L, M=M)
+        f_ch = 200e3
+        f_dop0, rate = 3000.0, -20000.0
+        state = bank_init(cfg, [f_ch, -300e3])
+        state = bank_set_doppler(cfg, state, 0, f_ch,
+                                 doppler_hz=f_dop0, rate_hz_s=rate)
+
+        n_blocks = 120                         # 0.3 s of 2.5 ms blocks
+        blocks = [
+            _swept_tone(b * L, L, f_ch + f_dop0, rate)
+            for b in range(n_blocks)
+        ]
+        state, bb, ks = _run_channelized(cfg, state, blocks)
+        y = bb[0]                              # steered channel baseband
+        # skip the filter's group-delay transient
+        skip = 2 * (M - 1) // 32
+        y = y[skip:]
+
+        # k actually hopped (the sweep crosses ~21 bins)
+        assert len(set(ks)) >= 10, f"k never moved: {set(ks)}"
+
+        # amplitude flat through every hop (no dropouts / misgathers)
+        mag = np.abs(y)
+        assert mag.min() > 0.9 * mag.max(), (
+            f"amplitude dip through k hops: {mag.min():.4f}..{mag.max():.4f}"
+        )
+
+        # residual frequency ~0: the steer holds the tone at DC.
+        dphi = np.angle(y[1:] * np.conj(y[:-1]))  # rad/sample @48k
+        f_res = np.mean(dphi) * 48000 / (2 * np.pi)
+        assert abs(f_res) < 1.0, f"residual {f_res:.3f} Hz"
+
+        # phase-continuous: no per-sample phase step beyond the tracking
+        # ripple (a k hop without compensation would jump ~pi)
+        assert np.max(np.abs(dphi - np.mean(dphi))) < 0.1
+
+        # the unsteered channel is unaffected by its neighbor's sweep
+        other = np.abs(bb[1][skip:])
+        assert other.max() < 1e-3
+
+    def test_static_channels_never_hop(self):
+        """Hysteresis: statically tuned channels (|delta| <= half a bin by
+        construction, including exact half-bin tunes) must never recenter."""
+        cfg = make_bank_config(3, "IQ", samprate=SAMPRATE, L=L, M=M)
+        # exact half-bin offset: nu*N = X.5
+        f_half = (100 + 0.5) * BIN_HZ
+        state = bank_init(cfg, [f_half, 0.0, -77 * BIN_HZ + 0.25 * BIN_HZ])
+        k0 = np.asarray(state.k).copy()
+        for _ in range(5):
+            state = bank_recenter(cfg, state)
+        np.testing.assert_array_equal(np.asarray(state.k), k0)
+
+    def test_set_doppler_is_phase_continuous(self):
+        """Updating the steer mid-pass (the 1/s ephemeris cadence) must
+        not jump the output phase."""
+        cfg = make_bank_config(1, "IQ", samprate=SAMPRATE, L=L, M=M)
+        f_ch = 100e3
+        rate = -1500.0
+        state = bank_init(cfg, [f_ch])
+        state = bank_set_doppler(cfg, state, 0, f_ch, 1000.0, rate)
+        n_blocks = 40
+        blocks = [
+            _swept_tone(b * L, L, f_ch + 1000.0, rate)
+            for b in range(n_blocks)
+        ]
+        # refresh the steer every 10 blocks with the exact profile values
+        overlap = state.overlap
+        out = []
+        for b, x in enumerate(blocks):
+            if b and b % 10 == 0:
+                t = b * L / SAMPRATE
+                state = bank_set_doppler(
+                    cfg, state, 0, f_ch, 1000.0 + rate * t, rate
+                )
+            overlap, fdomain = master_execute(
+                cfg.master, overlap, jnp.asarray(x)
+            )
+            state = bank_recenter(cfg, state)
+            new_r, new_nco, bb = bank_channelize(cfg, state, fdomain)
+            state = state._replace(overlap=overlap, r=new_r, nco=new_nco)
+            out.append(np.asarray(bb))
+        y = np.concatenate(out, axis=-1)[0]
+        skip = 2 * (M - 1) // 32
+        dphi = np.angle(y[skip + 1:] * np.conj(y[skip:-1]))
+        assert np.max(np.abs(dphi - np.mean(dphi))) < 0.1
+
+    def test_bank_tune_phase_continuous_across_k_change(self):
+        """A wire retune whose k changes (crossing a half-bin boundary by
+        a hair) must not jump the LO phase (osc.c:24-27: set_osc keeps
+        the phasor).  Fixed alongside bank_recenter: the residue r needs
+        the -(k-k_old)*(M-1) adjustment."""
+        from ka9q_sdr_tpu.models.bank import bank_tune
+
+        cfg = make_bank_config(1, "IQ", samprate=SAMPRATE, L=L, M=M)
+        f_tone = 100e3
+        eps = 0.01                       # Hz; k differs by 1 across this
+        f_lo = (532 + 0.5) * BIN_HZ - eps
+        f_hi = (532 + 0.5) * BIN_HZ + eps
+        state = bank_init(cfg, [f_lo])
+        blocks = [_swept_tone(b * L, L, f_tone, 0.0) for b in range(30)]
+        overlap = state.overlap
+        out = []
+        for b, x in enumerate(blocks):
+            if b == 15:
+                state = bank_tune(cfg, state, 0, f_hi, old_freq_hz=f_lo)
+            overlap, fdomain = master_execute(
+                cfg.master, overlap, jnp.asarray(x)
+            )
+            new_r, new_nco, bb = bank_channelize(cfg, state, fdomain)
+            state = state._replace(overlap=overlap, r=new_r, nco=new_nco)
+            out.append(np.asarray(bb))
+        y = np.concatenate(out, axis=-1)[0]
+        skip = 2 * (M - 1) // 32
+        dphi = np.angle(y[skip + 1:] * np.conj(y[skip:-1]))
+        # constant-frequency baseband through the retune: no phase jump
+        assert np.max(np.abs(dphi - np.median(dphi))) < 0.05
+
+    def test_channelbank_adapter_and_steerer(self):
+        """models.doppler.DopplerSteerer drives a bank channel through
+        the per-channel adapter exactly like a reference radio -d."""
+        from ka9q_sdr_tpu.models.bank import ChannelBank
+        from ka9q_sdr_tpu.models.doppler import (DopplerSteerer,
+                                                 SPEED_OF_LIGHT)
+
+        cfg = make_bank_config(2, "IQ", samprate=SAMPRATE, L=L, M=M)
+        bank = ChannelBank(cfg, [100e3, -100e3])
+        chan = bank.steer_adapter(0)
+        assert chan.tune_freq == 100e3
+
+        clock = [100.0]
+        steerer = DopplerSteerer(
+            chan, "unused", clock=lambda: clock[0], sleep=lambda dt: None
+        )
+        rangerate = -3000.0                     # m/s, approaching
+        n = steerer.steer_from_lines([
+            f"100.5 0 0 45 0 800e3 {rangerate} 12.0",
+        ])
+        assert n == 1
+        # the channel NCO now carries the expected doppler offset
+        f_dop = 100e3 * -rangerate / SPEED_OF_LIGHT
+        st = bank.state
+        resid = float(np.asarray(st.nco.freq_resid)[0])
+        fw = int(np.asarray(st.nco.freq)[0])
+        if fw >= 1 << 31:
+            fw -= 1 << 32
+        fq = fw / 2**32 + resid                  # cycles/dec-sample
+        k = int(np.asarray(st.k)[0])
+        nu_eff = k / cfg.N - fq / cfg.decimate   # cycles/input-sample
+        assert nu_eff * SAMPRATE == pytest.approx(100e3 + f_dop, abs=0.05)
+        rate_dec = float(np.asarray(st.nco.rate)[0])
+        want_rate = -(100e3 * -12.0 / SPEED_OF_LIGHT) / 48000.0**2
+        assert rate_dec == pytest.approx(want_rate, rel=1e-5)
+
+    def test_multibank_set_doppler(self):
+        from ka9q_sdr_tpu.models.bank import MultiBank
+
+        mb = MultiBank(
+            [("IQ", [100e3, 150e3]), ("FM", [-200e3])],
+            samprate=SAMPRATE, L=L, M=M,
+        )
+        mb.set_doppler(0, 1, 500.0, -25.0)
+        st = mb.states[0]
+        rate = float(np.asarray(st.nco.rate)[1])
+        assert rate == pytest.approx(25.0 / 48000.0**2, rel=1e-5)
+        # untouched channels keep rate 0
+        assert float(np.asarray(st.nco.rate)[0]) == 0.0
+        assert float(np.asarray(mb.states[1].nco.rate)[0]) == 0.0
