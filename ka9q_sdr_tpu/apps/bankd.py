@@ -124,35 +124,48 @@ def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
 
 def parse_command(data: bytes):
     """Parse one TLV command packet (cmd byte 1) into
-    (ssrc, freq, filter_kwargs); None if not a command packet.  Shared by
-    the single-mode and mixed-mode daemons (radio_status.c:217-318).
+    (ssrc, freq, filter_kwargs, rejected_reasons); None if not a command
+    packet.  Shared by the single-mode and mixed-mode daemons
+    (radio_status.c:217-318).
 
     Non-finite numerics are dropped at the door: a NaN/inf frequency
     would raise inside bank_tune's int(np.round(...)) and a NaN filter
     edge inside the window design — a daemon must not be killable (or
-    NaN-poisonable) by one crafted datagram."""
+    NaN-poisonable) by one crafted datagram.  Each drop is reported in
+    `rejected_reasons` so the daemon can count + log it instead of
+    letting the command counter imply acceptance."""
     if not data or data[0] != 1:
         return None
     ssrc = None
     freq = None
     filt: dict = {}
+    dop: dict = {}
+    bad: list[str] = []
 
-    def _finite(x):
-        return x if np.isfinite(x) else None
+    def _finite(x, what):
+        if np.isfinite(x):
+            return x
+        bad.append(f"non-finite {what} {x!r}")
+        return None
 
     for t, v in st.decode_packet(data[1:]):
         if t == StatusType.OUTPUT_SSRC:
             ssrc = int(st.decode_int(v))
         elif t == StatusType.RADIO_FREQUENCY:
-            freq = _finite(st.decode_double(v))
+            freq = _finite(st.decode_double(v), "frequency")
         elif t == StatusType.LOW_EDGE:
-            filt["low"] = _finite(st.decode_float(v))
+            filt["low"] = _finite(st.decode_float(v), "low edge")
         elif t == StatusType.HIGH_EDGE:
-            filt["high"] = _finite(st.decode_float(v))
+            filt["high"] = _finite(st.decode_float(v), "high edge")
         elif t == StatusType.KAISER_BETA:
-            filt["kaiser_beta"] = _finite(st.decode_float(v))
+            filt["kaiser_beta"] = _finite(st.decode_float(v), "kaiser beta")
+        elif t == StatusType.DOPPLER_FREQUENCY:
+            dop["doppler_hz"] = _finite(st.decode_double(v), "doppler")
+        elif t == StatusType.DOPPLER_FREQUENCY_RATE:
+            dop["rate_hz_s"] = _finite(st.decode_double(v), "doppler rate")
     filt = {k: v for k, v in filt.items() if v is not None}
-    return ssrc, freq, filt
+    dop = {k: v for k, v in dop.items() if v is not None}
+    return ssrc, freq, filt, dop, bad
 
 
 def poll_commands(sock, handler) -> None:
@@ -206,6 +219,7 @@ class BankDaemon:
         self.compactor = StatusCompactor()
         self.status_count = 0
         self.commands = 0
+        self.rejects = 0
         if args.output:
             self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
             self.status_sock = setup_mcast(
@@ -342,6 +356,7 @@ class BankDaemon:
         pkt = bytearray([0])
         st.encode_int(pkt, StatusType.OUTPUT_SSRC, ch + 1)
         st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_int(pkt, StatusType.COMMAND_REJECTS, self.rejects)
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
                          float(self.bank.freqs[ch]))
         st.encode_string(pkt, StatusType.RADIO_MODE, self.cfg.mode.name)
@@ -379,6 +394,13 @@ class BankDaemon:
 
     # ---- command plane ----
 
+    def _reject(self, reason: str) -> None:
+        """Count + log a rejected command (COMMAND_REJECTS on status):
+        the reference leaves the receiver visibly untouched; a headless
+        daemon must not let the command counter imply acceptance."""
+        self.rejects += 1
+        print(f"bankd: rejected command: {reason}", file=sys.stderr)
+
     def handle_command(self, data: bytes) -> None:
         """TLV command ingest (radio_status.c:217-318 command loop).
 
@@ -394,7 +416,9 @@ class BankDaemon:
         if parsed is None:
             return
         self.commands += 1
-        ssrc, freq, filt = parsed
+        ssrc, freq, filt, dop, bad = parsed
+        for reason in bad:
+            self._reject(reason)
         ch = None
         if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
@@ -402,7 +426,17 @@ class BankDaemon:
             try:
                 self.bank.tune(ch, freq)
             except (ValueError, OverflowError):
-                pass   # absurd frequency (e.g. 1e300): drop the command
+                # absurd frequency (e.g. 1e300, out-of-span): count + log
+                # so the command counter ticking doesn't imply acceptance
+                self._reject(f"ssrc {ssrc} frequency {freq!r}")
+        if dop and ch is not None:
+            # per-channel Doppler steer over the wire (the radio -d
+            # equivalent, doppler.c:63-66 values as TLV keys 20/21)
+            try:
+                self.bank.set_doppler(ch, dop.get("doppler_hz", 0.0),
+                                      dop.get("rate_hz_s", 0.0))
+            except (ValueError, OverflowError):
+                self._reject(f"ssrc {ssrc} doppler {dop!r}")
         # Filter edits apply bank-wide (the response is SHARED,
         # filter.c:22-35) when unaddressed or validly addressed; a command
         # carrying an out-of-range SSRC is someone else's — drop it whole.
@@ -410,7 +444,7 @@ class BankDaemon:
             try:
                 self.bank.set_filter(**filt)
             except ValueError:
-                pass   # nonsense edges (hostile/corrupt command): drop
+                self._reject(f"filter edges {filt!r}")
             else:
                 self.cfg = self.bank.cfg   # status reports the new edges
         if ch is not None and self.status_sock is not None:
@@ -439,7 +473,7 @@ class BankDaemon:
         try:
             self.status_sock.send(
                 self.compactor.compact(bytes(pkt),
-                                       force=self.status_count % 10 == 0)
+                                       force=self.status_count % 10 == 1)
             )
         except OSError:
             pass
@@ -521,6 +555,7 @@ class MultiBankDaemon:
                 self.native_fan = [None] * len(self.pcms)
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.commands = 0
+        self.rejects = 0
         self.blocks_done = 0
         self._last_diags = [None] * len(self.pcms)
         self._ssrcs = sorted(self.ssrc_map)   # fixed after build
@@ -536,6 +571,11 @@ class MultiBankDaemon:
                     pass
         return send
 
+    def _reject(self, reason: str) -> None:
+        """Count + log a rejected command (see BankDaemon._reject)."""
+        self.rejects += 1
+        print(f"bankd: rejected command: {reason}", file=sys.stderr)
+
     def handle_command(self, data: bytes) -> None:
         """TLV command ingest (radio_status.c:217-318) for the mixed-mode
         bank: OUTPUT_SSRC addresses one channel across all groups."""
@@ -543,7 +583,9 @@ class MultiBankDaemon:
         if parsed is None:
             return
         self.commands += 1
-        ssrc, freq, filt = parsed
+        ssrc, freq, filt, dop, bad = parsed
+        for reason in bad:
+            self._reject(reason)
         gi = self.ssrc_map.get(ssrc) if ssrc is not None else None
         if ssrc is not None and gi is None:
             return                       # someone else's command: drop whole
@@ -551,12 +593,19 @@ class MultiBankDaemon:
             try:
                 self.mb.tune(gi[0], gi[1], freq)
             except (ValueError, OverflowError):
-                pass   # absurd frequency: drop the command
+                self._reject(f"ssrc {ssrc} frequency {freq!r}")
+        if dop and gi is not None:
+            try:
+                self.mb.set_doppler(gi[0], gi[1],
+                                    dop.get("doppler_hz", 0.0),
+                                    dop.get("rate_hz_s", 0.0))
+            except (ValueError, OverflowError):
+                self._reject(f"ssrc {ssrc} doppler {dop!r}")
         if filt and gi is not None:      # group response needs an address
             try:
                 self.mb.set_filter(gi[0], **filt)
             except ValueError:
-                pass   # nonsense edges (hostile/corrupt command): drop
+                self._reject(f"filter edges {filt!r}")
         if gi is not None and self.status_sock is not None:
             try:
                 self.status_sock.send(self._channel_status_pkt(ssrc))
@@ -569,6 +618,7 @@ class MultiBankDaemon:
         pkt = bytearray([0])
         st.encode_int(pkt, StatusType.OUTPUT_SSRC, ssrc)
         st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_int(pkt, StatusType.COMMAND_REJECTS, self.rejects)
         st.encode_double(pkt, StatusType.RADIO_FREQUENCY,
                          float(self.mb.group_freqs[g][i]))
         st.encode_string(pkt, StatusType.RADIO_MODE, cfg.mode.name)

@@ -62,6 +62,9 @@ class RadioDaemon:
         )
         self.freq = parse_frequency(args.frequency) if args.frequency else 0.0
         self.commands = 0
+        self.rejects = 0   # commands dropped as invalid; on the status
+        #                    stream as COMMAND_REJECTS so an operator's
+        #                    typo'd retune is visible, not swallowed
         # front-end analog gains, from TLV status (radio_status.c:292-307)
         self.fe_gains = {"lna": 0, "mixer": 0, "if": 0}
         self.compactor = StatusCompactor()
@@ -182,6 +185,7 @@ class RadioDaemon:
         pkt = bytearray([0])  # status response byte
         st.encode_int(pkt, StatusType.GPS_TIME, int(time.time_ns()))
         st.encode_int(pkt, StatusType.COMMANDS, self.commands)
+        st.encode_int(pkt, StatusType.COMMAND_REJECTS, self.rejects)
         st.encode_int(pkt, StatusType.INPUT_SAMPRATE, self.args.samprate)
         st.encode_int(pkt, StatusType.OUTPUT_SAMPRATE, 48000)
         st.encode_int(pkt, StatusType.OUTPUT_SSRC, self.pcm.ssrc)
@@ -239,12 +243,20 @@ class RadioDaemon:
         st.encode_eol(pkt)
         self.status_count += 1
         out = self.compactor.compact(
-            bytes(pkt), force=(self.status_count % 10 == 0)
+            bytes(pkt), force=(self.status_count % 10 == 1)
         )
         try:
             self.status_sock.send(out)
         except OSError:
             pass
+
+    def _reject(self, reason: str) -> None:
+        """Count + log a rejected command.  The reference leaves the
+        receiver visibly untouched on a bad command; a headless network
+        daemon additionally logs it and ticks COMMAND_REJECTS on the
+        status stream so the operator sees WHY nothing changed."""
+        self.rejects += 1
+        print(f"radio: rejected command: {reason}", file=sys.stderr)
 
     def handle_command(self, data: bytes) -> None:
         """Command packet: leading byte 1 (radio_status.c:232-235).
@@ -264,7 +276,10 @@ class RadioDaemon:
         def _finite(x):
             # A crafted NaN/inf would raise inside the fixed-point NCO
             # retune (int(np.round(...))); drop it at the door.
-            return x if np.isfinite(x) else None
+            if np.isfinite(x):
+                return x
+            self._reject(f"non-finite value {x!r}")
+            return None
 
         for t, v in st.decode_packet(data[1:]):
             if t == StatusType.RADIO_FREQUENCY:
@@ -291,7 +306,7 @@ class RadioDaemon:
                     try:
                         self.rx.set_shift(s_hz)
                     except (ValueError, OverflowError):
-                        pass   # absurd shift: drop
+                        self._reject(f"shift {s_hz!r}")
             elif t == StatusType.INDEPENDENT_SIDEBAND:
                 opts["isb"] = bool(st.decode_int(v))
             elif t == StatusType.PLL_ENABLE:
@@ -332,7 +347,8 @@ class RadioDaemon:
                     f, np.nan if new_lo2 is None else new_lo2
                 )
             except (ValueError, OverflowError):
-                lo1 = None   # absurd frequency: drop the command
+                lo1 = None
+                self._reject(f"frequency {f!r}")
             self.freq = f
             if lo1 is not None:
                 self._send_lo1_command(lo1)
@@ -340,12 +356,12 @@ class RadioDaemon:
             try:
                 self.rx.set_filter(**filt)
             except ValueError:
-                pass   # nonsense edges (hostile/corrupt command): drop
+                self._reject(f"filter edges {filt!r}")
         if opts:
             try:
                 self.rx.set_options(**opts)
             except (ValueError, TypeError):
-                pass
+                self._reject(f"options {opts!r}")
 
     def save_state(self) -> None:
         """Write the ~/.radiostate file (savestate, main.c:368-401):

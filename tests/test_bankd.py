@@ -591,6 +591,94 @@ def test_hostile_numerics_do_not_kill_or_poison(tmp_path):
     np.testing.assert_array_equal(r, resp0)   # response untouched
 
 
+def test_rejected_commands_are_counted_and_logged(tmp_path, capsys):
+    """VERDICT r3 weak #5: a hostile/absurd command used to be swallowed
+    by `except ValueError: pass` after commands += 1 — the one
+    observability channel implied acceptance.  Now every rejection ticks
+    COMMAND_REJECTS (on the status stream) and logs a line."""
+    import math
+
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channels", str(N_CH)]
+    args = build_parser().parse_args(argv)
+    d = BankDaemon(args, _freqs())
+    assert d.rejects == 0
+
+    # NaN retune: dropped at parse, must still be counted
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, math.nan)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 1
+
+    # out-of-span retune: bank.tune raises ValueError (PARITY #18)
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 10 * SAMPRATE)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 2
+
+    # nonsense filter edges
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_float(pkt, StatusType.LOW_EDGE, -8.5e12)
+    st.encode_float(pkt, StatusType.HIGH_EDGE, 3.2e14)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 3
+    assert d.commands == 3
+
+    err = capsys.readouterr().err
+    assert err.count("rejected command") == 3
+
+    # the reject count rides the per-channel status packet
+    items = dict(st.decode_packet(d._channel_status_pkt(0)[1:]))
+    assert int(st.decode_int(items[StatusType.COMMAND_REJECTS])) == 3
+    assert int(st.decode_int(items[StatusType.COMMANDS])) == 3
+
+    # a valid retune afterwards still works and does not tick rejects
+    f_new = float(_freqs()[0] + 1000.0)
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, f_new)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 3 and d.bank.freqs[0] == f_new
+
+
+def test_multibank_rejects_counted(tmp_path, capsys):
+    import math
+
+    from ka9q_sdr_tpu.apps.bankd import (MultiBankDaemon, build_parser,
+                                         read_channel_file)
+
+    chf = tmp_path / "ch.txt"
+    chf.write_text(
+        "\n".join(f"{f} AM" for f in _freqs(4))
+        + "\n" + "\n".join(f"{f} FM" for f in _freqs(4))
+        + "\n"
+    )
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channel-file", str(chf)]
+    args = build_parser().parse_args(argv)
+    groups = read_channel_file(str(chf))
+    d = MultiBankDaemon(args, groups)
+
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, math.inf)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 1
+    assert "rejected command" in capsys.readouterr().err
+    items = dict(st.decode_packet(d._channel_status_pkt(1)[1:]))
+    assert int(st.decode_int(items[StatusType.COMMAND_REJECTS])) == 1
+
+
 class TestChannelFileEdges:
     """Per-line filter edges in the channel file: every distinct
     (mode, low, high) becomes its own demod group, giving the bank the
