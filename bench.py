@@ -123,6 +123,57 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters,
     return sps, p50, p99
 
 
+def _measure_mixed(groups_spec, samprate, L, M, warmup, iters):
+    """Mixed-mode (MultiBank) row: several demod groups off ONE shared
+    wideband FFT — the deployment shape the repo ships units for
+    (mostly-FM plus some USB/CAM groups).  Slope-timed like _measure."""
+    import jax
+    from ka9q_sdr_tpu.models.bank import MultiBank
+    from ka9q_sdr_tpu.utils.runtime import configure_jax
+
+    configure_jax()
+    total = sum(n for _, n in groups_spec)
+    print(f"# measuring MultiBank {'+'.join(f'{m}:{n}' for m, n in groups_spec)}"
+          f" x {samprate/1e6:.3f} Msps L={L}...", file=sys.stderr, flush=True)
+    usable = 0.9 * samprate
+    all_freqs = np.linspace(-usable / 2, usable / 2, total, endpoint=False)
+    groups, i = [], 0
+    for mode, n in groups_spec:
+        groups.append((mode, list(all_freqs[i:i + n])))
+        i += n
+    mb = MultiBank(groups, samprate=samprate, L=L, M=M)
+
+    rng = np.random.default_rng(2)
+    tt = np.arange(L) / samprate
+    x = 0.01 * (rng.standard_normal(L) + 1j * rng.standard_normal(L))
+    for g, (_, freqs) in enumerate(groups):
+        x += 0.2 * np.exp(2j * np.pi * freqs[len(freqs) // 2] * tt)
+    x_r = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+    x_dev = jax.device_put(x_r)
+
+    def fetch(outs):
+        return np.asarray(outs[0][0].ravel()[:2])
+
+    states = mb.states
+    for _ in range(warmup):
+        states, outs = mb._step(states, x_dev)
+    fetch(outs)
+
+    def run(n):
+        nonlocal states
+        t0 = time.perf_counter()
+        for _ in range(n):
+            states, outs = mb._step(states, x_dev)
+        fetch(outs)
+        return time.perf_counter() - t0
+
+    lo_it = max(2, iters // 8)
+    t_lo = run(lo_it)
+    t_hi = run(iters)
+    dt_blk = (t_hi - t_lo) / (iters - lo_it)
+    return L / dt_blk, total
+
+
 def _watchdog():
     """Self-exit after BENCH_DEADLINE_S (default 90 min, 0 disables).
 
@@ -273,6 +324,25 @@ def main():
             f"{2048*sps_s/1e6:.0f} ch*Msps  "
             f"[r4 curve: 2048->2.18M, 6144->3.02M, 7168->3.22M, "
             f"8192->3.16M ch*Msps (8192 is 0.98x rt, sub-realtime)]",
+            file=sys.stderr,
+        )
+
+    # Mixed-mode row: the deployment shape (MultiBankDaemon) — mostly-FM
+    # plus USB and CAM(PLL) groups sharing ONE master FFT at the 20 ms
+    # serving cadence.  BENCH_MIXED=0 skips; "FM:3072,USB:512,CAM:512"
+    # format overrides the composition.
+    mixed_spec = os.environ.get("BENCH_MIXED", "FM:3072,USB:512,CAM:512")
+    if mixed_spec not in ("", "0"):
+        spec = [(s.split(":")[0], int(s.split(":")[1]))
+                for s in mixed_spec.split(",")]
+        sps_mx, total_mx = _measure_mixed(
+            spec, samprate, ref_L, M, warmup, iters
+        )
+        print(
+            f"# MultiBank {'+'.join(f'{m} {n}' for m, n in spec)} x "
+            f"{samprate/1e6:.3f} Msps (20 ms blocks, shared master FFT): "
+            f"{sps_mx/1e6:.2f} Msps ({sps_mx/samprate:.2f}x realtime), "
+            f"{total_mx*sps_mx/1e6:.0f} ch*Msps",
             file=sys.stderr,
         )
 
