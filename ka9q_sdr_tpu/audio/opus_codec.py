@@ -120,8 +120,11 @@ class OpusEncoder:
 
     def __del__(self):
         enc, self._enc = getattr(self, "_enc", None), None
-        if enc and _lib is not None:
-            _lib.opus_encoder_destroy(ctypes.c_void_p(enc))
+        try:
+            if enc and _lib is not None:
+                _lib.opus_encoder_destroy(ctypes.c_void_p(enc))
+        except TypeError:
+            pass  # interpreter teardown already nulled ctypes globals
 
 
 class OpusDecoder:
@@ -157,5 +160,8 @@ class OpusDecoder:
 
     def __del__(self):
         dec, self._dec = getattr(self, "_dec", None), None
-        if dec and _lib is not None:
-            _lib.opus_decoder_destroy(ctypes.c_void_p(dec))
+        try:
+            if dec and _lib is not None:
+                _lib.opus_decoder_destroy(ctypes.c_void_p(dec))
+        except TypeError:
+            pass  # interpreter teardown already nulled ctypes globals

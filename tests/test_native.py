@@ -356,3 +356,121 @@ def test_rtp_parser_differential_fuzz():
             f"parser divergence on {pkt.hex()}: python={ours} "
             f"native={native}"
         )
+
+
+def test_native_opus_differential_vs_python():
+    """The native transcoder (opus_tx engine) must emit byte-identical
+    Opus RTP to the Python path (audio/transcode.py) for the same input
+    stream: session demux, gap zero-fill, marker/long-gap encoder resets,
+    dupe drops, mono duplication, ragged-tail truncation, DTX suppression
+    — all opus.c:246-397 semantics, both sides of one libopus."""
+    import select as _select
+
+    from ka9q_sdr_tpu.audio.opus_codec import OPUS_AVAILABLE
+    if not OPUS_AVAILABLE:
+        pytest.skip("libopus absent")
+    from ka9q_sdr_tpu.audio.transcode import OpusTranscoder
+    from ka9q_sdr_tpu.native import NativeOpusTranscoder
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, PCM_MONO_PT, PCM_STEREO_PT
+
+    in_grp, in_port = "239.77.4.1", 5530
+    out_grp, out_port = "239.77.4.2", 5531
+    native = NativeOpusTranscoder(in_grp, out_grp, in_port, out_port,
+                                  bitrate=32000, frame_ms=20.0, dtx=True)
+    rx = setup_mcast(f"{out_grp}:{out_port}", output=False)
+    tx = setup_mcast(f"{in_grp}:{in_port}", output=True, ttl=0)
+
+    py_out = []
+    py_tc = OpusTranscoder(send=py_out.append, bitrate=32000, frame_ms=20.0,
+                           dtx=True)
+
+    t = np.arange(480) / 48000.0
+    tone_a = (8000 * np.sin(2 * np.pi * 440 * t)).astype(">i2").tobytes()
+    tone_b_l = (6000 * np.sin(2 * np.pi * 600 * t)).astype(np.int16)
+    tone_b_r = (6000 * np.sin(2 * np.pi * 800 * t)).astype(np.int16)
+    tone_b = np.stack([tone_b_l, tone_b_r], -1).astype(">i2").tobytes()
+    silence = np.zeros(480, ">i2").tobytes()
+
+    stream = []
+    # session A: mono 10 ms packets; drop seq 4 (small gap -> zero fill)
+    seq, ts = 0, 0
+    for i in range(12):
+        if i == 4:
+            seq += 1
+            ts += 480
+        stream.append(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=ts,
+                                ssrc=1).to_bytes() + tone_a)
+        seq += 1
+        ts += 480
+    # a stale duplicate (old seq): both sides must drop it
+    stream.append(RTPHeader(type=PCM_MONO_PT, seq=2, timestamp=960,
+                            ssrc=1).to_bytes() + tone_a)
+    # marker restart mid-stream with a big timestamp jump (talk spurt)
+    ts += 480 * 600
+    for i in range(6):
+        stream.append(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=ts,
+                                ssrc=1, marker=(i == 0)).to_bytes() + tone_a)
+        seq += 1
+        ts += 480
+    # sustained silence so DTX engages identically on both sides
+    for i in range(40):
+        stream.append(RTPHeader(type=PCM_MONO_PT, seq=seq, timestamp=ts,
+                                ssrc=1).to_bytes() + silence)
+        seq += 1
+        ts += 480
+    # session B: stereo, interleaved with A by construction order; one
+    # ragged payload (trailing odd bytes truncated, opus.c's integer
+    # frame-count division)
+    seq_b, ts_b = 100, 5000
+    for i in range(10):
+        payload = tone_b + (b"\x7f" if i == 3 else b"")
+        stream.append(RTPHeader(type=PCM_STEREO_PT, seq=seq_b,
+                                timestamp=ts_b, ssrc=2).to_bytes() + payload)
+        seq_b += 1
+        ts_b += 480
+    # non-PCM payload type: ignored by both
+    stream.append(RTPHeader(type=97, seq=0, timestamp=0, ssrc=3).to_bytes()
+                  + tone_a)
+
+    sender = ("10.1.2.3", 4444)
+    for pkt in stream:
+        tx.send(pkt)
+        py_tc.feed_packet(pkt, sender)
+
+    # drain the native output until it goes quiet
+    native_pkts = []
+    deadline = time.time() + 10.0
+    quiet = 0
+    while time.time() < deadline and quiet < 8:
+        r, _, _ = _select.select([rx], [], [], 0.25)
+        if not r:
+            quiet += 1
+            continue
+        quiet = 0
+        data, _ = rx.recvfrom(9000)
+        native_pkts.append(data)
+    native.close()
+    rx.close()
+    tx.close()
+
+    def by_ssrc(pkts):
+        out = {}
+        for p in pkts:
+            h, _ = RTPHeader.from_bytes(p)
+            out.setdefault(h.ssrc, []).append(p)
+        return out
+
+    py_by, nat_by = by_ssrc(py_out), by_ssrc(native_pkts)
+    assert set(py_by) == set(nat_by), (
+        f"session sets differ: py={sorted(py_by)} native={sorted(nat_by)}"
+    )
+    for ssrc in py_by:
+        assert len(py_by[ssrc]) == len(nat_by[ssrc]), (
+            f"ssrc {ssrc}: {len(py_by[ssrc])} py vs "
+            f"{len(nat_by[ssrc])} native packets"
+        )
+        for i, (a, b) in enumerate(zip(py_by[ssrc], nat_by[ssrc])):
+            assert a == b, f"ssrc {ssrc} packet {i} differs"
+    # sanity: the stream actually exercised the paths
+    assert len(py_out) > 10
