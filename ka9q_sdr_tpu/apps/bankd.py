@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import select
 import sys
 import time
@@ -124,9 +125,10 @@ def derive_geometry(samprate: float, block_ms: float = 20.0) -> tuple[int, int]:
 
 def parse_command(data: bytes):
     """Parse one TLV command packet (cmd byte 1) into
-    (ssrc, freq, filter_kwargs, rejected_reasons); None if not a command
-    packet.  Shared by the single-mode and mixed-mode daemons
-    (radio_status.c:217-318).
+    (ssrc, freq, filter_kwargs, doppler_kwargs, mode, rejected_reasons);
+    None if not a command packet.  Shared by the single-mode and
+    mixed-mode daemons (radio_status.c:217-318).  RADIO_MODE carries a
+    preset/mode change request (radio.c:322-374 set_mode).
 
     Non-finite numerics are dropped at the door: a NaN/inf frequency
     would raise inside bank_tune's int(np.round(...)) and a NaN filter
@@ -140,6 +142,7 @@ def parse_command(data: bytes):
     freq = None
     filt: dict = {}
     dop: dict = {}
+    mode = None
     bad: list[str] = []
 
     def _finite(x, what):
@@ -163,9 +166,14 @@ def parse_command(data: bytes):
             dop["doppler_hz"] = _finite(st.decode_double(v), "doppler")
         elif t == StatusType.DOPPLER_FREQUENCY_RATE:
             dop["rate_hz_s"] = _finite(st.decode_double(v), "doppler rate")
+        elif t == StatusType.RADIO_MODE:
+            try:
+                mode = bytes(v).decode("ascii").strip().upper()
+            except UnicodeDecodeError:
+                bad.append(f"undecodable mode {v!r}")
     filt = {k: v for k, v in filt.items() if v is not None}
     dop = {k: v for k, v in dop.items() if v is not None}
-    return ssrc, freq, filt, dop, bad
+    return ssrc, freq, filt, dop, mode, bad
 
 
 def poll_commands(sock, handler) -> None:
@@ -282,6 +290,15 @@ class BankDaemon:
             audio, diag = self.bank.process_packed(iq)
         else:
             audio, diag = self.bank.process(iq)
+        # start the device->host copies now so the emit (next block) finds
+        # them ready — a sync fetch is a ~50 ms tunnel round trip each
+        for arr in (audio, diag.get("snr"), diag.get("bb_power")):
+            if arr is None:
+                continue
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
         pending, self._pending = self._pending, (audio, diag)
         if pending is not None:
             self._emit(*pending)
@@ -416,12 +433,20 @@ class BankDaemon:
         if parsed is None:
             return
         self.commands += 1
-        ssrc, freq, filt, dop, bad = parsed
+        ssrc, freq, filt, dop, mode, bad = parsed
         for reason in bad:
             self._reject(reason)
         ch = None
         if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
+        if mode is not None and mode != self.cfg.mode.name:
+            # a single-mode bank cannot respawn a different demod (the
+            # mixed-mode daemon's migrate() can); reject loudly
+            self._reject(
+                f"ssrc {ssrc} mode {mode!r}: single-mode "
+                f"{self.cfg.mode.name} bank (use a channel file with a "
+                f"{mode} group and the mixed-mode daemon)"
+            )
         if freq is not None and ch is not None:
             try:
                 self.bank.tune(ch, freq)
@@ -512,14 +537,34 @@ class MultiBankDaemon:
             self.status_sock = setup_mcast(args.output, output=True,
                                            ttl=args.ttl, offset=2)
             self.cmd_sock = setup_mcast(args.output, output=False, offset=2)
+        # Slot model for live mode migration (radio.c:322-374 set_mode as
+        # a state edit): every group's LAST --spare-slots slots start
+        # free; a migrating channel leaves its slot free behind it.
+        # SSRC numbers are assigned per SLOT (so the native fan-out's
+        # default base+slot mapping holds) but only occupied slots are
+        # addressable; a migrated channel KEEPS its SSRC via the fan's
+        # per-slot override (pcm_tx_set_ssrc).
+        n_spare = int(getattr(args, "spare_slots", 0) or 0)
         self.pcms = []
+        self.slot_ssrc: list[list[int | None]] = []
         for g, (mode, freqs) in enumerate(groups):
             row = []
+            slot_row: list[int | None] = []
             for i in range(len(freqs)):
-                self.ssrc_map[ssrc] = (g, i)
+                if i < len(freqs) - n_spare:
+                    self.ssrc_map[ssrc] = (g, i)
+                    slot_row.append(ssrc)
+                else:
+                    slot_row.append(None)        # spare: free from birth
                 row.append(PCMOutput(send=self._sender(), ssrc=ssrc))
                 ssrc += 1
             self.pcms.append(row)
+            self.slot_ssrc.append(slot_row)
+        self.ch_ids = [
+            np.array([i if s is not None else -1
+                      for i, s in enumerate(slot_row)], np.int32)
+            for slot_row in self.slot_ssrc
+        ]
         # Native per-group PCM fan-out (mirrors BankDaemon): group SSRCs
         # are sequential, so each group gets one PCMFanoutSender with its
         # first SSRC as base.  The host quantises float audio in one
@@ -583,12 +628,18 @@ class MultiBankDaemon:
         if parsed is None:
             return
         self.commands += 1
-        ssrc, freq, filt, dop, bad = parsed
+        ssrc, freq, filt, dop, mode, bad = parsed
         for reason in bad:
             self._reject(reason)
         gi = self.ssrc_map.get(ssrc) if ssrc is not None else None
         if ssrc is not None and gi is None:
             return                       # someone else's command: drop whole
+        if mode is not None and gi is not None:
+            # live mode change (radio.c:322-374): move the channel into
+            # the target mode's group; any frequency/doppler keys in the
+            # same packet then apply at its new home
+            if self.migrate(ssrc, mode):
+                gi = self.ssrc_map[ssrc]
         if freq is not None and gi is not None:
             try:
                 self.mb.tune(gi[0], gi[1], freq)
@@ -611,6 +662,60 @@ class MultiBankDaemon:
                 self.status_sock.send(self._channel_status_pkt(ssrc))
             except OSError:
                 pass
+
+    def migrate(self, ssrc: int, mode: str) -> bool:
+        """Move one channel into the group of another mode on the RUNNING
+        daemon — the reference's set_mode-respawns-demod-thread
+        (radio.c:322-374) as a state edit: the target group's free slot
+        gets fresh demod state + the channel's frequency
+        (MultiBank.init_channel), adopts the channel's wire SSRC
+        (pcm_tx_set_ssrc), and the source slot is muted and freed.  The
+        output RTP stream restarts (seq/timestamp reset, marker on the
+        first packet) exactly like the reference's respawned thread.
+        Returns True on success; failures are counted + logged."""
+        gi = self.ssrc_map.get(ssrc)
+        if gi is None:
+            self._reject(f"migrate: unknown ssrc {ssrc}")
+            return False
+        g, i = gi
+        if self.mb.cfgs[g].mode.name == mode:
+            return True        # same-preset set_mode is a no-op
+        tg = next((k for k, c in enumerate(self.mb.cfgs)
+                   if c.mode.name == mode), None)
+        if tg is None:
+            self._reject(f"migrate ssrc {ssrc}: no {mode} group in this "
+                         f"bank (groups: "
+                         f"{[c.mode.name for c in self.mb.cfgs]})")
+            return False
+        slot_row = self.slot_ssrc[tg]
+        try:
+            j = slot_row.index(None)
+        except ValueError:
+            self._reject(f"migrate ssrc {ssrc}: {mode} group full "
+                         f"({len(slot_row)} slots; start with more "
+                         f"--spare-slots)")
+            return False
+        freq = self.mb.group_freqs[g][i]
+        self.mb.init_channel(tg, j, freq)   # fresh demod row + retune
+        # rebook: free + mute the source slot, bind the wire SSRC at the
+        # target (the channel's SSRC follows it, like the reference's
+        # persistent session across set_mode)
+        self.slot_ssrc[g][i] = None
+        self.slot_ssrc[tg][j] = ssrc
+        self.ssrc_map[ssrc] = (tg, j)
+        self.ch_ids[g][i] = -1
+        self.ch_ids[tg][j] = j
+        if self.native_fan[g] is not None:
+            self.native_fan[g].set_ssrc(i, 0)      # back to default map
+        if self.native_fan[tg] is not None:
+            self.native_fan[tg].set_ssrc(j, ssrc)
+        # Python-fallback output: a fresh RTP session for the slot
+        self.pcms[tg][j] = PCMOutput(send=self._sender(), ssrc=ssrc)
+        print(f"bankd: migrated ssrc {ssrc} "
+              f"{self.mb.cfgs[g].mode.name}->{mode} "
+              f"(group {g} slot {i} -> group {tg} slot {j})",
+              file=sys.stderr, flush=True)
+        return True
 
     def _channel_status_pkt(self, ssrc: int) -> bytes:
         g, i = self.ssrc_map[ssrc]
@@ -685,6 +790,16 @@ class MultiBankDaemon:
         packetisation overlaps device compute (the fetch is the ~50 ms
         tunnel round trip)."""
         outs = self.mb.process(block)
+        # pipeline the fetches the emit path needs (audio + status diag);
+        # each sync np.asarray is a ~50 ms tunnel round trip
+        for audio, diag in outs:
+            for arr in (audio, diag.get("snr"), diag.get("bb_power")):
+                if arr is None:
+                    continue
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
         pending, self._pending = self._pending, outs
         if pending is not None:
             self._emit(pending)
@@ -707,10 +822,14 @@ class MultiBankDaemon:
             fan = self.native_fan[g]
             if fan is not None:
                 pcm = scaleclip_int16(a)
-                # (B, L_dec[, 2]) -> (B, L_dec*nch) interleaved frames
-                fan.send_block(pcm.reshape(pcm.shape[0], -1))
+                # (B, L_dec[, 2]) -> (B, L_dec*nch) interleaved frames;
+                # ch_ids mutes free slots (-1: spares and migrated-away)
+                fan.send_block(pcm.reshape(pcm.shape[0], -1),
+                               self.ch_ids[g])
             else:
                 for ch, out in enumerate(row):
+                    if self.slot_ssrc[g][ch] is None:
+                        continue            # free slot: muted
                     if a.ndim == 3:
                         out.send_stereo(a[ch])
                     else:
@@ -738,6 +857,12 @@ def run_multibank(args, groups) -> int:
     multicast — via the native C++ engine (recvmmsg, resequencing,
     gap zero-fill; packed float blocks) when available, else the Python
     assembler path (--no-native forces it)."""
+    n_spare = int(getattr(args, "spare_slots", 0) or 0)
+    if n_spare:
+        # spare slots park at DC until a migration commissions them
+        # (init_channel respawns their demod state, so the parked
+        # history never leaks into a migrated-in channel)
+        groups = [(m, list(f) + [0.0] * n_spare) for m, f in groups]
     d = MultiBankDaemon(args, groups)
     L = d.mb.cfgs[0].master.L
     last_status = 0.0
@@ -834,6 +959,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-native", action="store_true",
                    help="use the Python transport instead of the C++ engine")
+    p.add_argument("--spare-slots", type=int, default=0, metavar="N",
+                   help="free slots per mixed-mode group for live mode "
+                        "migration (RADIO_MODE command; radio.c:322-374)")
     p.add_argument("--max-active", type=int, default=0, metavar="N",
                    help="serve only the N loudest non-silent channels "
                         "(device-side squelch compaction; 0 = all)")
@@ -915,29 +1043,62 @@ def main(argv=None) -> int:
                              block_len=d.cfg.master.L)
             pending = deque()
             L_dec = d.cfg.L_dec
+            # KA9Q_BANKD_TIMING=1: per-phase loop timing every 250 blocks
+            timing = bool(int(os.environ.get("KA9Q_BANKD_TIMING", "0")))
+            T = {"poll": 0.0, "wait": 0.0, "step": 0.0, "copy": 0.0,
+                 "emit": 0.0, "status": 0.0}
+            t_n = 0
             while True:
+                _t0 = time.perf_counter()
                 d.poll_commands()
+                _t1 = time.perf_counter()
+                T["poll"] += _t1 - _t0
                 block = rx.get_block_i16(1000)
+                _t2 = time.perf_counter()
+                T["wait"] += _t2 - _t1
                 if block is not None:
                     if args.max_active:
                         nv = d.n_real if d.n_real != d.cfg.n_channels else None
                         pcm, idx, diag = d.bank.process_active(
                             block, args.max_active, n_valid=nv)
-                        for arr in (pcm, idx):
+                        _t3 = time.perf_counter()
+                        T["step"] += _t3 - _t2
+                        # pipeline EVERY leaf the emit path will fetch —
+                        # including the status diag: a synchronous
+                        # np.asarray(snr) is a fresh ~50 ms tunnel round
+                        # trip per block (measured 46 ms/blk, the entire
+                        # gap between 0.38x and realtime at 6.144 Msps)
+                        for arr in (pcm, idx, diag.get("snr"),
+                                    diag.get("bb_power")):
+                            if arr is None:
+                                continue
                             try:
                                 arr.copy_to_host_async()
                             except Exception:
                                 pass
                         pending.append((pcm, idx, diag))
+                        _t4 = time.perf_counter()
+                        T["copy"] += _t4 - _t3
                         if len(pending) >= 3:
                             d.emit_active(*pending.popleft(), L_dec)
+                        T["emit"] += time.perf_counter() - _t4
                         d.blocks_done += 1
+                        t_n += 1
                     else:
                         d.process_block(block)
+                _t5 = time.perf_counter()
                 now = time.monotonic()
                 if now - last_status >= 0.1:
                     d.emit_status()
                     last_status = now
+                T["status"] += time.perf_counter() - _t5
+                if timing and t_n >= 250:
+                    print("bankd timing: " + "  ".join(
+                        f"{k} {1000*v/t_n:.2f}" for k, v in T.items())
+                        + " ms/blk", file=sys.stderr, flush=True)
+                    for k in T:
+                        T[k] = 0.0
+                    t_n = 0
                 if args.blocks and d.blocks_done >= args.blocks:
                     break
             while pending:

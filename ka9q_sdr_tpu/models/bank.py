@@ -840,6 +840,36 @@ def bank_set_doppler(
     return state._replace(nco=new_nco)
 
 
+def bank_reset_demod_row(
+    state: BankState, fresh_demod, channel: int, n_channels: int
+) -> BankState:
+    """Reset ONE channel's demod state row to its freshly-initialised
+    value — the reference's demod-thread respawn on a mode/preset change
+    (radio.c:322-374) done as a state edit instead of a restart.
+
+    `fresh_demod` is the bank_init template's demod subtree in the SAME
+    tree structure and packing (real/c2r form) as `state.demod`.  Leaves
+    whose leading axis is the channel axis (shape[0] == n_channels) get
+    row `channel` spliced from the template; shared leaves (windows,
+    scalar gains) are untouched.  Re-applies sharding like bank_tune —
+    an eager .at[] across a sharded axis can come back replicated."""
+
+    def _splice(live, tmpl):
+        t = np.asarray(tmpl)
+        if (getattr(live, "ndim", 0) >= 1
+                and live.shape[0] == n_channels
+                and t.shape == tuple(live.shape)):
+            out = jnp.asarray(live).at[channel].set(jnp.asarray(t[channel]))
+            sh = getattr(live, "sharding", None)
+            if sh is not None and out.sharding != sh:
+                out = jax.device_put(out, sh)
+            return out
+        return live
+
+    new_demod = jax.tree_util.tree_map(_splice, state.demod, fresh_demod)
+    return state._replace(demod=new_demod)
+
+
 def swap_filter_response(
     cfg: BankConfig,
     state: BankState,
@@ -1177,6 +1207,13 @@ class MultiBank:
                 tree_c2r_np(jax.tree_util.tree_map(np.asarray, t))
                 for t in templates
             ]
+            # frozen copies of each group's freshly-initialised demod
+            # subtree (real form), for live mode migration's per-row
+            # respawn (init_channel / bank_reset_demod_row)
+            self._fresh_demod = [
+                jax.tree_util.tree_map(np.array, s.demod)
+                for s in self.states
+            ]
 
         cfgs = self.cfgs
 
@@ -1256,6 +1293,22 @@ class MultiBank:
             self.group_freqs[group][idx],
             doppler_hz=doppler_hz, rate_hz_s=rate_hz_s,
         )
+
+    def init_channel(self, group: int, idx: int, freq_hz: float) -> None:
+        """(Re)commission one slot of one group: fresh demod state for
+        the row (the reference's respawned demod thread on a mode change,
+        radio.c:322-374), a phase-continuous retune, and a cleared
+        doppler sweep.  This is the receiving half of live mode
+        migration; the daemon mutes the slot the channel left.  First
+        use per group compiles the splice updates (seconds on a remote
+        TPU) — comparable to the reference's thread respawn, and
+        subsequent migrations are ~ms dispatches."""
+        n_b = len(self.group_freqs[group])
+        self.states[group] = bank_reset_demod_row(
+            self.states[group], self._fresh_demod[group], idx, n_b
+        )
+        self.tune(group, idx, freq_hz)
+        self.set_doppler(group, idx, 0.0, 0.0)
 
     def set_filter(
         self,

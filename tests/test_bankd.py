@@ -838,3 +838,157 @@ def test_multibank_native_ingest(tmp_path):
     # mono PCM (PT 11, multicast.h:19-24)
     assert seen_ssrcs.get(1) == 11, seen_ssrcs
     assert seen_ssrcs.get(2) == 11, seen_ssrcs
+
+
+class TestLiveModeMigration:
+    """FM->USB mode change on a RUNNING mixed-mode daemon (VERDICT r3 #6):
+    the reference's set_mode-respawns-demod-thread (radio.c:322-374) as a
+    state edit.  The migrated channel keeps its SSRC, demodulates USB at
+    its new home, and every OTHER channel's PCM is bit-untouched
+    (compared against a control daemon that never migrates)."""
+
+    F_FM0, F_FM1, F_USB0 = -300e3, 150e3, 400e3
+    NBLK = 14
+    MIGRATE_AT = 7          # command lands between blocks 6 and 7
+
+    def _make_daemon(self, tmp_path, tag, out_group=None):
+        from ka9q_sdr_tpu.apps.bankd import MultiBankDaemon, build_parser
+
+        argv = ["-r", str(SAMPRATE), "--L", str(L), "--M", str(M),
+                "--spare-slots", "1",
+                "--pcm-raw", str(tmp_path / f"{tag}.pcm")]
+        if out_group:
+            argv += ["-R", out_group]
+        args = build_parser().parse_args(argv)
+        # run_multibank's spare extension, mirrored for direct construction
+        groups = [("FM", [self.F_FM0, self.F_FM1, 0.0]),
+                  ("USB", [self.F_USB0, 0.0])]
+        return MultiBankDaemon(args, groups)
+
+    def _block(self, b):
+        t = (b * L + np.arange(L)) / SAMPRATE
+        # FM slot 0: tone-modulated NBFM; FM slot 1 (the migrator): a
+        # carrier + 1 kHz upper-sideband tone — boring under FM, a clean
+        # 1 kHz tone once demodulated as USB; USB slot 0: +700 Hz tone
+        x = (0.3 * np.exp(1j * (2 * np.pi * self.F_FM0 * t
+                                + 3.0 * np.sin(2 * np.pi * 400.0 * t)))
+             + 0.3 * np.exp(2j * np.pi * (self.F_FM1 + 1e3) * t)
+             + 0.3 * np.exp(2j * np.pi * (self.F_USB0 + 700.0) * t))
+        return x.astype(np.complex64)
+
+    def _mode_cmd(self, ssrc, mode):
+        import ka9q_sdr_tpu.net.status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+
+        pkt = bytearray([1])
+        st.encode_int(pkt, StatusType.OUTPUT_SSRC, ssrc)
+        st.encode_string(pkt, StatusType.RADIO_MODE, mode)
+        st.encode_eol(pkt)
+        return bytes(pkt)
+
+    def _rows(self, tmp_path, tag):
+        l_dec = L // 32
+        raw = np.frombuffer(open(tmp_path / f"{tag}.pcm", "rb").read(),
+                            "<i2")
+        # per block: FM group rows (3) then USB group rows (2)
+        return raw.reshape(self.NBLK, 5, l_dec)
+
+    def test_migration_semantics(self, tmp_path):
+        import select as _select
+
+        from ka9q_sdr_tpu.net.multicast import setup_mcast
+        from ka9q_sdr_tpu.net.rtp import RTPHeader
+
+        OUT = "239.88.9.1:5240"
+        pcm_rx = setup_mcast(OUT, output=False)
+        pcm_rx.settimeout(0.0)
+
+        d = self._make_daemon(tmp_path, "live", out_group=OUT)
+        c = self._make_daemon(tmp_path, "ctrl")
+
+        # SSRC layout: FM slots 1,2,(3=spare, unmapped); USB 4,(5=spare)
+        assert d.ssrc_map == {1: (0, 0), 2: (0, 1), 4: (1, 0)}
+        assert d.slot_ssrc == [[1, 2, None], [4, None]]
+
+        wire = {"pre": set(), "post": set()}
+        phase = "pre"
+        for b in range(self.NBLK):
+            if b == self.MIGRATE_AT:
+                d.handle_command(self._mode_cmd(2, "USB"))
+                assert d.rejects == 0
+                assert d.ssrc_map[2] == (1, 1)
+                assert d.slot_ssrc == [[1, None, None], [4, 2]]
+                phase = "post"
+            blk = self._block(b)
+            d.process_block(blk)
+            c.process_block(blk)
+            # drain the wire; classify by phase (the daemon double-buffers
+            # one block, so the boundary is approximate — the sets below
+            # are only checked for membership, not exact timing)
+            try:
+                while True:
+                    h, _ = RTPHeader.from_bytes(pcm_rx.recv(9000))
+                    wire[phase].add(h.ssrc)
+            except OSError:
+                pass
+        d.flush(); c.flush()
+        try:
+            while True:
+                h, _ = RTPHeader.from_bytes(pcm_rx.recv(9000))
+                wire["post"].add(h.ssrc)
+        except OSError:
+            pass
+        d.close(); c.close()
+        pcm_rx.close()
+
+        live = self._rows(tmp_path, "live").astype(np.float64)
+        ctrl = self._rows(tmp_path, "ctrl").astype(np.float64)
+
+        # 1. untouched bystanders: FM slot 0 and USB slot 0 identical to
+        # the control run, before AND after the migration
+        np.testing.assert_array_equal(live[:, 0], ctrl[:, 0])   # FM ch 1
+        np.testing.assert_array_equal(live[:, 3], ctrl[:, 3])   # USB ch 4
+        # 2. the USB spare slot (row 4) carries the migrated channel's
+        # 1 kHz tone after the migration and not before (before, it is
+        # parked at DC demodulating AGC-amplified floor — loud in the
+        # raw capture but muted on the wire, which assertion 4 checks)
+        def tone_frac(x, f0):
+            X = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+            if X.sum() == 0.0:      # squelch-closed silence: no tone
+                return 0.0
+            k = int(round(f0 * len(x) / 48000))
+            return X[max(0, k - 3): k + 4].sum() / X.sum()
+
+        pre = live[2: self.MIGRATE_AT, 4].ravel()
+        post = live[self.MIGRATE_AT + 2:, 4].ravel()
+        assert tone_frac(pre, 1000.0) < 0.3, "tone already there before"
+        assert np.sqrt((post**2).mean()) > 200.0, "migrated channel silent"
+        assert tone_frac(post, 1000.0) > 0.5, \
+            "migrated channel's USB tone not dominant"
+        # 3. status: ssrc 2 now reports USB at its original frequency
+        pkt = d._channel_status_pkt(2)
+        assert b"USB" in pkt
+        g, i = d.ssrc_map[2]
+        assert d.mb.cfgs[g].mode.name == "USB"
+        assert d.mb.group_freqs[g][i] == self.F_FM1
+        # 4. wire SSRC continuity: ssrc 2 present after migration; the
+        # spare slot's default ssrc (5) NEVER appears
+        assert 2 in wire["post"], wire
+        assert 5 not in wire["pre"] | wire["post"], wire
+
+    def test_migration_rejections(self, tmp_path):
+        d = self._make_daemon(tmp_path, "rej")
+        # unknown mode / no such group
+        assert not d.migrate(2, "CW")
+        # group full: USB group has 1 spare; fill it, then try another
+        assert d.migrate(2, "USB")
+        assert not d.migrate(1, "USB")
+        r0 = d.rejects
+        # same-preset set_mode is a no-op success (reference semantics)
+        assert d.migrate(2, "USB")
+        assert d.rejects == r0
+        # migrating BACK reuses the slot freed by the first migration
+        assert d.migrate(2, "FM")
+        assert d.ssrc_map[2] == (0, 1)
+        assert d.slot_ssrc == [[1, 2, None], [4, None]]
+        d.close()
