@@ -353,6 +353,7 @@ def bank_channelize(
     state: BankState,
     fdomain: jax.Array,
     bin_perm: jax.Array | None = None,
+    comb_p: int | None = None,
 ) -> tuple[jax.Array, OscState, jax.Array]:
     """Shared-FFT channel extraction: gather + response + block phase +
     batched IFFT + residual NCO.  Returns (new_r, new_nco, baseband) with
@@ -361,7 +362,20 @@ def bank_channelize(
     bin_perm: optional (N,) index map applied to the gather indices, for
     spectra stored in a permuted layout — e.g. the comb-major layout of the
     distributed FFT (parallel.dfft.comb_index): true bin b lives at
-    fdomain[bin_perm[b]].
+    fdomain[bin_perm[b]].  Served by the slow per-element gather.
+
+    comb_p: the comb-major layout's device count P (the distributed-FFT
+    output, parallel/dfft.py) — true bin b lives at position
+    (b % P)*(N/P) + b//P.  Unlike the generic bin_perm this engages a
+    FAST aligned path (measured on chip at N=2^20/2048 ch: generic
+    per-element 123.5 ms/block vs aligned 1.56 — a 79x cliff): reshaped
+    (P, Q=N/P), a channel's window is ONE circular column window across
+    all P rows plus a row offset r = start mod P, so the gather
+    chunk-aligns in column space (whole-aligned-row gather, the only
+    fast dynamic indexing on TPU), the row offset is a P-way
+    static-variant select, and the column misalign reuses the
+    shifted-response-table trick at stride P.  Falls back to bin_perm
+    for geometries it cannot serve (N_dec % P != 0, ISB).
 
     Gather strategy: each channel's bins {k..k+h} ∪ {k-h+1..k-1} (mod N)
     form ONE contiguous circular window of N_dec bins.  The natural-order
@@ -391,6 +405,84 @@ def bank_channelize(
     ).astype(jnp.complex64)
     new_r = (state.r + state.dr) % jnp.int32(N)
     new_nco, lo = jax.vmap(lambda s: osc_block(s, L_dec))(state.nco)
+
+    if comb_p:
+        P_ = int(comb_p)
+        Q = N // P_
+        CC = min(128, Q)
+        if (N_dec % P_ == 0 and Q % CC == 0 and not isb
+                and N % P_ == 0):
+            h = N_dec // 2
+            D = N_dec // P_
+            NCHc = D // CC + 2
+            CHp = CC * P_              # flat shift granularity (bins)
+            Wn = N_dec + CHp           # window width the fold consumes
+            F = fdomain.reshape(P_, Q)
+            Fd = jnp.concatenate([F, F[:, : NCHc * CC]], axis=1)
+            rows = (Fd.reshape(P_, -1, CC).transpose(1, 0, 2)
+                    .reshape(-1, P_ * CC))
+            s = (state.k - jnp.int32(h - 1)) % jnp.int32(N)
+            q = s // P_
+            r_off = s % P_             # row offset within the comb
+            c = q // CC
+            mc = q % CC                # column misalign within a chunk
+            idx = (c[:, None]
+                   + jnp.arange(NCHc, dtype=jnp.int32)[None, :])
+            G = jnp.take(rows, idx, axis=0)        # (B, NCHc, P_*CC)
+            G = (G.reshape(-1, NCHc, P_, CC)
+                 .transpose(0, 1, 3, 2))           # (B, NCHc, CC, P_)
+            flat = G.reshape(G.shape[0], NCHc * CC * P_)  # bins, in order
+            # row-offset shift: P_ static window variants, per-channel
+            # select (flat[b, r_off+i] for i in [0, Wn))
+            Wv = jnp.stack([
+                jax.lax.slice(flat, (0, rr), (flat.shape[0], rr + Wn))
+                for rr in range(P_)
+            ])                                     # (P_, B, Wn)
+            Wsel = jnp.take_along_axis(
+                Wv, r_off[None, :, None].astype(jnp.int32), axis=0
+            )[0]                                   # (B, Wn)
+            # column-misalign shift table at stride P_ (cf. chunked_ifft)
+            resp_rolled = jnp.roll(state.resp, h - 1)
+            Pp = jnp.concatenate([
+                jnp.zeros((CHp,), resp_rolled.dtype),
+                resp_rolled,
+                jnp.zeros((CHp,), resp_rolled.dtype),
+            ])
+            Rt = jnp.stack([
+                jax.lax.slice(Pp, (CHp - mm * P_,),
+                              (CHp - mm * P_ + Wn,))
+                for mm in range(CC)
+            ])                                     # (CC, Wn)
+            S = Wsel * jnp.take(Rt, mc, axis=0)
+            # fold mod N_dec (may wrap more than once when CC*P_ >
+            # N_dec); the shifted response occupies N_dec contiguous
+            # positions of Wn, so every output bin receives exactly one
+            # nonzero term — placement, never mixing
+            n_seg = (Wn + N_dec - 1) // N_dec
+            Sp = jnp.pad(S, ((0, 0), (0, n_seg * N_dec - Wn)))
+            f = Sp.reshape(S.shape[0], n_seg, N_dec).sum(axis=1)
+            y = jnp.fft.ifft(f * phi[:, None], axis=-1) * N_dec
+            y = y[..., N_dec - L_dec:]
+            # undo the mc*P_ roll + the h-1 rotation in one output ramp
+            # (same exact-integer phase reduction as the natural path)
+            n_out = np.arange(N_dec - L_dec, N_dec)
+            out_fix = np.exp(
+                -2j * np.pi * (h - 1) * n_out / N_dec
+            ).astype(np.complex64)
+            nn_i = jnp.asarray(n_out.astype(np.int32))
+            mn = ((mc * jnp.int32(P_))[:, None] * nn_i[None, :]) \
+                % jnp.int32(N_dec)
+            frac = mn.astype(jnp.float32) * jnp.float32(1.0 / N_dec)
+            ang = (-2.0 * np.pi) * frac
+            fix = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)) \
+                * jnp.asarray(out_fix)[None, :]
+            return new_r, new_nco, y * fix * lo
+        # unsupported comb geometry (or ISB): serve through the generic
+        # per-element path below with the comb permutation
+        if bin_perm is None:
+            kk = np.arange(N)
+            bin_perm = jnp.asarray(
+                ((kk % P_) * Q + kk // P_).astype(np.int32))
 
     CH = min(128, N_dec)               # gather chunk granularity
     aligned = N_dec % CH == 0 and (N + N_dec) % CH == 0

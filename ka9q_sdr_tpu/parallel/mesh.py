@@ -182,6 +182,10 @@ def _bank_step_packed_dfft(
             f"N={cfg.N} not divisible by the {n_dev}-device mesh"
         )
     dfft_fn = make_dfft_sm(mesh, cfg.N, CHANNEL_AXIS)
+    # comb_p engages bank_channelize's ALIGNED comb gather (r4: the
+    # generic per-element path measured 123.5 ms vs 1.56 ms aligned at
+    # N=2^20/2048 ch on chip — a 79x cliff that made >100 Msps claims
+    # unbudgeted); geometries it can't serve fall back internally
     perm = jnp.asarray(comb_index(cfg.N, n_dev).astype(np.int32))
     L = cfg.master.L
 
@@ -197,7 +201,7 @@ def _bank_step_packed_dfft(
         comb = dfft_fn(buf)   # (N,) comb-major, sharded over the mesh
         state = bank_recenter(cfg, state)   # k-hops for swept channels
         new_r, new_nco, baseband = bank_channelize(
-            cfg, state, comb, bin_perm=perm
+            cfg, state, comb, bin_perm=perm, comb_p=n_dev
         )
         dstate, audio, diag = bank_demod(cfg, state.demod, baseband)
         if pcm_out:
