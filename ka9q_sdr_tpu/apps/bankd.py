@@ -151,21 +151,32 @@ def parse_command(data: bytes):
         bad.append(f"non-finite {what} {x!r}")
         return None
 
+    def _put(d, key, x, what):
+        # skip, don't insert None: a None doppler component would
+        # TypeError inside bank_set_doppler's arithmetic (uncaught —
+        # daemon death by one crafted datagram), and a None filter edge
+        # would silently reset that edge to the mode default via
+        # swap_filter_response's None-means-default convention
+        if np.isfinite(x):
+            d[key] = x
+        else:
+            bad.append(f"non-finite {what} {x!r}")
+
     for t, v in st.decode_packet(data[1:]):
         if t == StatusType.OUTPUT_SSRC:
             ssrc = int(st.decode_int(v))
         elif t == StatusType.RADIO_FREQUENCY:
             freq = _finite(st.decode_double(v), "frequency")
         elif t == StatusType.LOW_EDGE:
-            filt["low"] = _finite(st.decode_float(v), "low edge")
+            _put(filt, "low", st.decode_float(v), "low edge")
         elif t == StatusType.HIGH_EDGE:
-            filt["high"] = _finite(st.decode_float(v), "high edge")
+            _put(filt, "high", st.decode_float(v), "high edge")
         elif t == StatusType.KAISER_BETA:
-            filt["kaiser_beta"] = _finite(st.decode_float(v), "kaiser beta")
+            _put(filt, "kaiser_beta", st.decode_float(v), "kaiser beta")
         elif t == StatusType.DOPPLER_FREQUENCY:
-            dop["doppler_hz"] = _finite(st.decode_double(v), "doppler")
+            _put(dop, "doppler_hz", st.decode_double(v), "doppler")
         elif t == StatusType.DOPPLER_FREQUENCY_RATE:
-            dop["rate_hz_s"] = _finite(st.decode_double(v), "doppler rate")
+            _put(dop, "rate_hz_s", st.decode_double(v), "doppler rate")
         elif t == StatusType.RADIO_MODE:
             try:
                 mode = bytes(v).decode("ascii").strip().upper()
@@ -228,6 +239,11 @@ class BankDaemon:
         self.status_count = 0
         self.commands = 0
         self.rejects = 0
+        # last commanded doppler (hz, rate) per channel: a TLV packet
+        # carrying only ONE of the two doppler keys preserves the other
+        # component instead of zeroing it (an operator adjusting the
+        # sweep rate mid-pass must not snap the channel back to base)
+        self._dop: dict[int, tuple[float, float]] = {}
         if args.output:
             self.out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
             self.status_sock = setup_mcast(
@@ -434,11 +450,18 @@ class BankDaemon:
             return
         self.commands += 1
         ssrc, freq, filt, dop, mode, bad = parsed
-        for reason in bad:
-            self._reject(reason)
         ch = None
         if ssrc is not None and 1 <= ssrc <= self.n_real:
             ch = ssrc - 1
+        # A command addressed to an out-of-range SSRC is someone else's
+        # (two daemons sharing a command channel): drop it whole —
+        # including its malformed-value rejects and mode mismatch — or
+        # this daemon's reject counter ticks for the other's traffic.
+        mine = ssrc is None or ch is not None
+        if not mine:
+            return
+        for reason in bad:
+            self._reject(reason)
         if mode is not None and mode != self.cfg.mode.name:
             # a single-mode bank cannot respawn a different demod (the
             # mixed-mode daemon's migrate() can); reject loudly
@@ -456,12 +479,18 @@ class BankDaemon:
                 self._reject(f"ssrc {ssrc} frequency {freq!r}")
         if dop and ch is not None:
             # per-channel Doppler steer over the wire (the radio -d
-            # equivalent, doppler.c:63-66 values as TLV keys 20/21)
+            # equivalent, doppler.c:63-66 values as TLV keys 20/21).
+            # A packet carrying only one of the two keys preserves the
+            # channel's other commanded component (see self._dop).
+            cur = self._dop.get(ch, (0.0, 0.0))
+            hz = dop.get("doppler_hz", cur[0])
+            rate = dop.get("rate_hz_s", cur[1])
             try:
-                self.bank.set_doppler(ch, dop.get("doppler_hz", 0.0),
-                                      dop.get("rate_hz_s", 0.0))
+                self.bank.set_doppler(ch, hz, rate)
             except (ValueError, OverflowError):
                 self._reject(f"ssrc {ssrc} doppler {dop!r}")
+            else:
+                self._dop[ch] = (hz, rate)
         # Filter edits apply bank-wide (the response is SHARED,
         # filter.c:22-35) when unaddressed or validly addressed; a command
         # carrying an out-of-range SSRC is someone else's — drop it whole.
@@ -606,6 +635,8 @@ class MultiBankDaemon:
         self._ssrcs = sorted(self.ssrc_map)   # fixed after build
         self._pending = None
         self._ch_rr = 0
+        # last commanded doppler per SSRC (see BankDaemon._dop)
+        self._dop: dict[int, tuple[float, float]] = {}
 
     def _sender(self):
         def send(datagram: bytes) -> None:
@@ -629,11 +660,11 @@ class MultiBankDaemon:
             return
         self.commands += 1
         ssrc, freq, filt, dop, mode, bad = parsed
-        for reason in bad:
-            self._reject(reason)
         gi = self.ssrc_map.get(ssrc) if ssrc is not None else None
         if ssrc is not None and gi is None:
             return                       # someone else's command: drop whole
+        for reason in bad:               # malformed values, ours: count+log
+            self._reject(reason)
         if mode is not None and gi is not None:
             # live mode change (radio.c:322-374): move the channel into
             # the target mode's group; any frequency/doppler keys in the
@@ -646,12 +677,17 @@ class MultiBankDaemon:
             except (ValueError, OverflowError):
                 self._reject(f"ssrc {ssrc} frequency {freq!r}")
         if dop and gi is not None:
+            # one-key packets preserve the other commanded component
+            # (keyed by SSRC so the memory follows a migrated channel)
+            cur = self._dop.get(ssrc, (0.0, 0.0))
+            hz = dop.get("doppler_hz", cur[0])
+            rate = dop.get("rate_hz_s", cur[1])
             try:
-                self.mb.set_doppler(gi[0], gi[1],
-                                    dop.get("doppler_hz", 0.0),
-                                    dop.get("rate_hz_s", 0.0))
+                self.mb.set_doppler(gi[0], gi[1], hz, rate)
             except (ValueError, OverflowError):
                 self._reject(f"ssrc {ssrc} doppler {dop!r}")
+            else:
+                self._dop[ssrc] = (hz, rate)
         if filt and gi is not None:      # group response needs an address
             try:
                 self.mb.set_filter(gi[0], **filt)
@@ -695,6 +731,12 @@ class MultiBankDaemon:
                          f"({len(slot_row)} slots; start with more "
                          f"--spare-slots)")
             return False
+        # Emit the in-flight block BEFORE rebooking: it was computed with
+        # the OLD slot map, and the double-buffered _pending would
+        # otherwise go out with the NEW one — transmitting the parked
+        # spare's AGC-amplified floor as the migrated SSRC's first
+        # (marker) packets and dropping the source channel's last block.
+        self.flush()
         freq = self.mb.group_freqs[g][i]
         self.mb.init_channel(tg, j, freq)   # fresh demod row + retune
         # rebook: free + mute the source slot, bind the wire SSRC at the
@@ -1083,9 +1125,9 @@ def main(argv=None) -> int:
                             d.emit_active(*pending.popleft(), L_dec)
                         T["emit"] += time.perf_counter() - _t4
                         d.blocks_done += 1
-                        t_n += 1
                     else:
                         d.process_block(block)
+                    t_n += 1
                 _t5 = time.perf_counter()
                 now = time.monotonic()
                 if now - last_status >= 0.1:

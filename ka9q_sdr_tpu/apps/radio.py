@@ -347,11 +347,14 @@ class RadioDaemon:
                     f, np.nan if new_lo2 is None else new_lo2
                 )
             except (ValueError, OverflowError):
-                lo1 = None
+                # rejected: leave self.freq at the ACTUAL tuned value —
+                # status and ~/.radiostate must not report/persist a
+                # frequency the receiver never moved to
                 self._reject(f"frequency {f!r}")
-            self.freq = f
-            if lo1 is not None:
-                self._send_lo1_command(lo1)
+            else:
+                self.freq = f
+                if lo1 is not None:      # None = LO2 absorbed the retune
+                    self._send_lo1_command(lo1)
         if filt:
             try:
                 self.rx.set_filter(**filt)

@@ -272,19 +272,44 @@ def bank_init(cfg: BankConfig, freqs_hz: Sequence[float]) -> BankState:
 
 
 def _mul_mod_n(s: jax.Array, c: int, N: int) -> jax.Array:
-    """(s * c) mod N for traced int32 s (|s| < N <= 2^21) and host
-    constant c in [0, N), without int32 overflow: split s into three
-    7-bit limbs so every partial product stays below 2^29 (a one-shot
-    doppler steer far from the current k can make |s| large for one
-    block; steady-state hops are +-1)."""
-    a = s // (128 * 128)
-    rem = s - a * (128 * 128)
-    b = rem // 128
-    c_lo = rem - b * 128
-    t_a = (c * 128 * 128) % N
-    t_b = (c * 128) % N
-    return (a * jnp.int32(t_a) + b * jnp.int32(t_b)
-            + c_lo * jnp.int32(c)) % jnp.int32(N)
+    """(s * c) mod N for traced int32 s of ANY sign/magnitude and host
+    constant c in [0, N), without int32 overflow: reduce s mod N first,
+    then accumulate 4-bit limbs with a mod after every partial product.
+    Each partial is limb*(c*16^i % N) < 16*N <= 2^30 and the running
+    accumulator stays < N, so every intermediate fits int32 for
+    N <= 2^26 (the flagship master).  The previous 7-bit-limb version
+    overflowed for |s| >= 2^31/N * 2^14 (~2^19 bins at N=2^26) — reachable
+    by a one-shot doppler steer far from the current k, and by any
+    cross-band bank_tune; steady-state recenter hops are +-1."""
+    s = s % jnp.int32(N)          # non-negative (sign of divisor)
+    acc = jnp.zeros_like(s)
+    t = c % N
+    for _ in range((N.bit_length() + 3) // 4):
+        limb = s % 16
+        acc = (acc + limb * jnp.int32(t)) % jnp.int32(N)
+        s = s // 16
+        t = (t * 16) % N
+    return acc
+
+
+def _resharded(arr_in, out):
+    """Re-apply the sharding `arr_in` carried to `out`: an eager `.at[]`
+    update across a sharded axis can come back replicated, which would
+    silently de-shard a bank leaf on the first live retune.  Shared by
+    bank_tune / bank_set_doppler / bank_reset_demod_row."""
+    sh = getattr(arr_in, "sharding", None)
+    if sh is not None and out.sharding != sh:
+        out = jax.device_put(out, sh)
+    return out
+
+
+def _set_ch(arr, channel, val):
+    return _resharded(arr, jnp.asarray(arr).at[channel].set(val))
+
+
+def _add_ch(arr, channel, val):
+    # uint32 add wraps mod 2^32 = phase mod 1 cycle (ops.nco)
+    return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
 
 
 def bank_recenter(cfg: BankConfig, state: BankState) -> BankState:
@@ -764,31 +789,26 @@ def bank_tune(
     _residual_phase_cycles — the response-sampling shift the reference's
     own output exhibits at a retune).
 
-    old_freq_hz: the channel's previous frequency.  When given (the
-    ChannelBank path always passes it) the retune is pure host math plus
-    device-side updates; when omitted, the old residual is reconstructed
-    from the stored fixed-point NCO frequency — a host fetch, ~50 ms per
-    retune over the remote-TPU tunnel.
+    The continuity corrections (the r re-alignment and the group-delay
+    phase step) are computed against the channel's CURRENT device state
+    — its live k and NCO frequency — as small in-graph scalar ops, no
+    host fetch.  This matters for Doppler-swept channels: bank_recenter
+    hops k in-jit as the sweep drifts, so host bookkeeping (the last
+    commanded frequency) cannot reconstruct the live k; deriving k_old
+    from old_freq_hz (as this function did through r4-early) mis-aligns
+    r by the hop amount and jumps the block phase by s*(M-1)/N cycles on
+    the next block — a phase discontinuity on PLL/coherent channels.
+    `old_freq_hz` is accepted for backward compatibility and ignored.
+    The sweep rate (nco.rate) is left untouched: a retune moves a swept
+    channel's center, the steer keeps steering (radio.c:204-242, where
+    set_freq and the doppler thread compose the same way).
 
     Works on both the complex and the packed (real-dtype) state forms —
     every tuned leaf (k, dr, nco.*) is real in both — and re-applies any
     sharding the leaf carried (an eager `.at[]` update across a sharded
     axis can come back replicated), so it is the retune path for sharded
     banks too."""
-
-    def _resharded(arr_in, out):
-        sh = getattr(arr_in, "sharding", None)
-        if sh is not None and out.sharding != sh:
-            out = jax.device_put(out, sh)
-        return out
-
-    def _set(arr, val):
-        return _resharded(arr, jnp.asarray(arr).at[channel].set(val))
-
-    def _add(arr, val):
-        # uint32 add wraps mod 2^32 = phase mod 1 cycle (ops.nco)
-        return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
-
+    del old_freq_hz
     if not np.isfinite(freq_hz) or abs(freq_hz) > cfg.samprate / 2:
         # same loud contract as bank_init: never alias an out-of-span
         # retune onto an in-band bin (daemons catch ValueError and drop
@@ -798,47 +818,44 @@ def bank_tune(
             f"+-{cfg.samprate / 2:.0f} Hz span of a "
             f"{cfg.samprate:.0f} S/s bank"
         )
+    N = cfg.N
     nu = freq_hz / cfg.samprate
-    k = int(np.round(nu * cfg.N))
-    delta = nu - k / cfg.N
+    k = int(np.round(nu * N))
+    delta = nu - k / N
     hi, resid = split_double(-delta * cfg.decimate)
-    if old_freq_hz is not None:
-        nu_o = old_freq_hz / cfg.samprate
-        k_old = int(np.round(nu_o * cfg.N))
-        old_delta = nu_o - k_old / cfg.N
-    else:
-        k_old = int(np.asarray(state.k)[channel])   # same-fetch path
-        w = int(np.asarray(state.nco.freq)[channel])
-        if w >= 1 << 31:
-            w -= 1 << 32
-        old_delta = -(w / 2.0**32 +
-                      float(np.asarray(state.nco.freq_resid)[channel])) \
-            / cfg.decimate
-    dcorr = (_residual_phase_cycles(cfg, delta)
-             - _residual_phase_cycles(cfg, old_delta))
-    phi_hi, phi_resid = split_double(dcorr)
-    new_nco = state.nco._replace(
-        freq=_set(state.nco.freq, np.uint32(hi)),
-        freq_resid=_set(state.nco.freq_resid, np.float32(resid)),
-        phase=_add(state.nco.phase, np.uint32(phi_hi)),
-        phase_resid=_add(state.nco.phase_resid, np.float32(phi_resid)),
+    km = k % N
+    nco = state.nco
+    # group-delay phase correction for the delta change, from the
+    # channel's CURRENT NCO frequency (device scalar, same formula as
+    # bank_set_doppler): dcorr = (fq_old - fq_new)*(M-1)/(2*decimate)
+    fw = jax.lax.bitcast_convert_type(jnp.asarray(nco.freq)[channel],
+                                      jnp.int32)
+    fq_old = (fw.astype(jnp.float32) * jnp.float32(1.0 / _TWO32)
+              + jnp.asarray(nco.freq_resid)[channel])
+    dcorr = (fq_old - jnp.float32(-delta * cfg.decimate)) * jnp.float32(
+        (cfg.master.M - 1) / 2.0 / cfg.decimate
     )
-    km = k % cfg.N
+    dcorr = dcorr - jnp.round(dcorr)           # phase is mod 1 cycle
+    new_nco = nco._replace(
+        freq=_set_ch(nco.freq, channel, np.uint32(hi)),
+        freq_resid=_set_ch(nco.freq_resid, channel, np.float32(resid)),
+        phase_resid=_add_ch(nco.phase_resid, channel, dcorr),
+    )
     # LO phase continuity across the bin-shift change (osc.c:24-27
     # semantics): the carried residue r embeds a -k*(M-1) alignment term
     # (bank_init's r_0), so switching k needs the exact integer
-    # adjustment r -= (k-k_old)*(M-1) mod N or the block phase jumps by
-    # (k-k_old)*(M-1)/N cycles at the next block (same fix as
-    # bank_recenter; host int math, no overflow concerns).
-    s_k = (km - (k_old % cfg.N))
-    r_adj = int((-s_k * (cfg.master.M - 1)) % cfg.N)
+    # adjustment r -= (k-k_live)*(M-1) mod N or the block phase jumps by
+    # (k-k_live)*(M-1)/N cycles at the next block (same math as
+    # bank_recenter; exact limbed int mod on device, _mul_mod_n).
+    s_k = jnp.int32(km) - jnp.asarray(state.k)[channel]
+    r_adj = -_mul_mod_n(s_k, (cfg.master.M - 1) % N, N)
     new_r = _resharded(
         state.r,
-        (jnp.asarray(state.r).at[channel].add(r_adj)) % jnp.int32(cfg.N),
+        (jnp.asarray(state.r).at[channel].add(r_adj)) % jnp.int32(N),
     )
     return state._replace(
-        k=_set(state.k, km),
-        dr=_set(state.dr, int(km * cfg.master.L % cfg.N)),
+        k=_set_ch(state.k, channel, km),
+        dr=_set_ch(state.dr, channel, int(km * cfg.master.L % N)),
         r=new_r,
         nco=new_nco,
     )
@@ -889,18 +906,6 @@ def bank_set_doppler(
     N, N_dec = cfg.N, cfg.N_dec
     dsr = cfg.dsamprate
 
-    def _resharded(arr_in, out):
-        sh = getattr(arr_in, "sharding", None)
-        if sh is not None and out.sharding != sh:
-            out = jax.device_put(out, sh)
-        return out
-
-    def _set(arr, val):
-        return _resharded(arr, jnp.asarray(arr).at[channel].set(val))
-
-    def _add(arr, val):
-        return _resharded(arr, jnp.asarray(arr).at[channel].add(val))
-
     # target position in master bins, split exactly on the host
     b = np.float64(f_total) / cfg.samprate * N
     b_int = int(np.round(b))
@@ -924,10 +929,10 @@ def bank_set_doppler(
     dcorr = dcorr - jnp.round(dcorr)           # phase is mod 1 cycle
     rate_dec = -rate_hz_s / (dsr * dsr)        # cycles/dec-sample^2
     new_nco = nco._replace(
-        freq=_set(nco.freq, jnp.uint32(0)),
-        freq_resid=_set(nco.freq_resid, fq_new),
-        rate=_set(nco.rate, np.float32(rate_dec)),
-        phase_resid=_add(nco.phase_resid, dcorr),
+        freq=_set_ch(nco.freq, channel, jnp.uint32(0)),
+        freq_resid=_set_ch(nco.freq_resid, channel, fq_new),
+        rate=_set_ch(nco.rate, channel, np.float32(rate_dec)),
+        phase_resid=_add_ch(nco.phase_resid, channel, dcorr),
     )
     return state._replace(nco=new_nco)
 
@@ -951,11 +956,7 @@ def bank_reset_demod_row(
         if (getattr(live, "ndim", 0) >= 1
                 and live.shape[0] == n_channels
                 and t.shape == tuple(live.shape)):
-            out = jnp.asarray(live).at[channel].set(jnp.asarray(t[channel]))
-            sh = getattr(live, "sharding", None)
-            if sh is not None and out.sharding != sh:
-                out = jax.device_put(out, sh)
-            return out
+            return _set_ch(live, channel, jnp.asarray(t[channel]))
         return live
 
     new_demod = jax.tree_util.tree_map(_splice, state.demod, fresh_demod)

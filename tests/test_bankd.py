@@ -650,6 +650,61 @@ def test_rejected_commands_are_counted_and_logged(tmp_path, capsys):
     assert d.rejects == 3 and d.bank.freqs[0] == f_new
 
 
+def test_doppler_command_hardening_and_partial_keys(tmp_path, capsys):
+    """(r4 review) Three doppler command-plane contracts:
+    - a crafted non-finite doppler value must not kill the daemon
+      (parse_command used to insert None, which TypeError'd inside
+      bank_set_doppler's arithmetic — uncaught);
+    - a packet carrying only ONE of the two doppler keys preserves the
+      channel's other commanded component instead of zeroing it;
+    - a command addressed to an out-of-range SSRC (someone else's
+      daemon) must not tick this daemon's reject counter."""
+    import math
+
+    from ka9q_sdr_tpu.apps.bankd import BankDaemon, build_parser
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channels", str(N_CH)]
+    args = build_parser().parse_args(argv)
+    d = BankDaemon(args, _freqs())
+
+    # full steer: both keys
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY, 500.0)
+    st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY_RATE, -100.0)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 0 and d._dop[0] == (500.0, -100.0)
+
+    # rate-only adjustment mid-pass: the 500 Hz offset must survive
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY_RATE, -50.0)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 0 and d._dop[0] == (500.0, -50.0)
+
+    # hostile: inf doppler — daemon survives, reject ticks, state intact
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 1)
+    st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY, math.inf)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 1 and d._dop[0] == (500.0, -50.0)
+
+    # foreign SSRC with a garbage payload: dropped whole, no reject tick
+    pkt = bytearray([1])
+    st.encode_int(pkt, StatusType.OUTPUT_SSRC, 5000)
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, math.nan)
+    st.encode_string(pkt, StatusType.RADIO_MODE, b"USB")
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 1
+    err = capsys.readouterr().err
+    assert err.count("rejected command") == 1
+
+
 def test_multibank_rejects_counted(tmp_path, capsys):
     import math
 

@@ -176,6 +176,46 @@ class TestBankDoppler:
         # constant-frequency baseband through the retune: no phase jump
         assert np.max(np.abs(dphi - np.median(dphi))) < 0.05
 
+    def test_bank_tune_phase_continuous_after_recenter_hop(self):
+        """Wire-retuning a channel whose k was hopped by bank_recenter
+        mid-sweep must stay phase-continuous (regression: bank_tune used
+        to derive k_old from the LAST COMMANDED frequency, stale by the
+        hop amount s, mis-aligning r by s*(M-1) and jumping the block
+        phase s*(M-1)/N cycles — now it reads the live device k)."""
+        from ka9q_sdr_tpu.models.bank import bank_tune
+
+        cfg = make_bank_config(1, "IQ", samprate=SAMPRATE, L=L, M=M)
+        f_ch = 100e3
+        state = bank_init(cfg, [f_ch])
+        k0 = int(np.asarray(state.k)[0])
+        # one-shot steer +2.3 bins: the next bank_recenter hops k by 2,
+        # exactly the state a LEO track is in when an operator retunes
+        f2 = f_ch + 2.3 * BIN_HZ
+        state = bank_set_doppler(cfg, state, 0, f_ch,
+                                 doppler_hz=2.3 * BIN_HZ, rate_hz_s=0.0)
+        blocks = [_swept_tone(b * L, L, f2, 0.0) for b in range(30)]
+        overlap = state.overlap
+        out = []
+        for b, x in enumerate(blocks):
+            if b == 15:
+                # live k has hopped (by round(2.3 + the channel's own
+                # off-bin residual) bins); the daemon only knows
+                # base=f_ch.  A retune to the SAME RF is a phase no-op.
+                assert int(np.asarray(state.k)[0]) != k0
+                state = bank_tune(cfg, state, 0, f2, old_freq_hz=f_ch)
+            overlap, fdomain = master_execute(
+                cfg.master, overlap, jnp.asarray(x)
+            )
+            state = bank_recenter(cfg, state)
+            new_r, new_nco, bb = bank_channelize(cfg, state, fdomain)
+            state = state._replace(overlap=overlap, r=new_r, nco=new_nco)
+            out.append(np.asarray(bb))
+        y = np.concatenate(out, axis=-1)[0]
+        skip = 2 * (M - 1) // 32
+        dphi = np.angle(y[skip + 1:] * np.conj(y[skip:-1]))
+        # constant-frequency baseband through hop AND retune: no jump
+        assert np.max(np.abs(dphi - np.median(dphi))) < 0.05
+
     def test_channelbank_adapter_and_steerer(self):
         """models.doppler.DopplerSteerer drives a bank channel through
         the per-channel adapter exactly like a reference radio -d."""
