@@ -1031,6 +1031,20 @@ class TestLiveModeMigration:
         assert 2 in wire["post"], wire
         assert 5 not in wire["pre"] | wire["post"], wire
 
+    def test_migrate_flushes_pending_block(self, tmp_path):
+        """(r4 review) migrate() must emit the in-flight double-buffered
+        block BEFORE rebooking the slot map: that block was computed
+        while the target slot was a parked spare (AGC-amplified floor),
+        and emitting it under the new map would transmit that noise as
+        the migrated SSRC's first packets — and drop the source
+        channel's last real block."""
+        d = self._make_daemon(tmp_path, "flush")
+        d.process_block(self._block(0))
+        assert d._pending is not None      # double-buffered in flight
+        assert d.migrate(2, "USB")
+        assert d._pending is None          # flushed under the OLD map
+        d.close()
+
     def test_migration_rejections(self, tmp_path):
         d = self._make_daemon(tmp_path, "rej")
         # unknown mode / no such group
