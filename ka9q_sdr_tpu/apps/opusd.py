@@ -100,6 +100,7 @@ def main(argv=None) -> int:
     out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)
     tc = OpusTranscoder(
         send=lambda d: out_sock.send(d),
+        max_sessions=args.max_sessions,
         bitrate=args.bitrate,
         frame_ms=args.frame_ms,
         dtx=args.dtx,

@@ -69,12 +69,20 @@ class PlayoutSession:
 
 
 class Mixer:
-    """The shared ring + session demux (monitor.c main structures)."""
+    """The shared ring + session demux (monitor.c main structures).
 
-    def __init__(self):
+    max_sessions caps the table: the reference grows its session list
+    without bound, but an Opus session here lazily allocates a native
+    decoder, so a flood of random-SSRC datagrams would otherwise OOM the
+    monitor.  Beyond the cap, packets for unseen SSRCs are counted in
+    `rejected` and dropped (existing sessions keep playing)."""
+
+    def __init__(self, max_sessions: int = 256):
         self.ring = np.zeros((RING_FRAMES, 2), np.float32)
         self.rptr = 0          # next frame the output will read
         self.frames_out = 0
+        self.max_sessions = max_sessions
+        self.rejected = 0
         self.sessions: dict[int, PlayoutSession] = {}
 
     def feed_packet(self, data: bytes) -> None:
@@ -86,6 +94,9 @@ class Mixer:
             return
         sess = self.sessions.get(hdr.ssrc)
         if sess is None:
+            if len(self.sessions) >= self.max_sessions:
+                self.rejected += 1
+                return
             sess = PlayoutSession(hdr.ssrc, hdr.type)
             self.sessions[hdr.ssrc] = sess
         sess.packets += 1

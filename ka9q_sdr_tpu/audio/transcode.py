@@ -108,11 +108,21 @@ class OpusSession:
 
 
 class OpusTranscoder:
-    """Session demultiplexer (opus.c main loop)."""
+    """Session demultiplexer (opus.c main loop).
 
-    def __init__(self, send: Callable[[bytes], None], **opts):
+    max_sessions caps the session table — the reference grows its list
+    without bound (opus.c:300-320), but each session here holds a ~27 KB
+    native libopus encoder, so a hostile sender spraying random SSRCs
+    would otherwise OOM the daemon (same flood cap as the native engine,
+    rtp_engine.cc opus_tx).  Packets for SSRCs beyond the cap are
+    counted in `rejected` and dropped."""
+
+    def __init__(self, send: Callable[[bytes], None],
+                 max_sessions: int = 1024, **opts):
         self.send = send
         self.opts = opts
+        self.max_sessions = max_sessions
+        self.rejected = 0
         self.sessions: dict[tuple, OpusSession] = {}
 
     def feed_packet(self, data: bytes, sender: tuple = ("", 0)) -> None:
@@ -128,6 +138,9 @@ class OpusTranscoder:
         key = (sender[0], sender[1] if len(sender) > 1 else 0, hdr.ssrc)
         sess = self.sessions.get(key)
         if sess is None:
+            if len(self.sessions) >= self.max_sessions:
+                self.rejected += 1
+                return
             sess = OpusSession(hdr.ssrc, self.send, **self.opts)
             self.sessions[key] = sess
         try:

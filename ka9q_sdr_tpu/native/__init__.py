@@ -29,19 +29,31 @@ _lock = threading.Lock()
 
 
 def build(force: bool = False) -> bool:
-    """Compile the engine if needed.  Returns success."""
+    """Compile the engine if needed.  Returns success.
+
+    Compiles to a temp file and atomically renames onto the .so: the
+    multi-process constellation can trigger this rebuild in several
+    processes at once after an rtp_engine.cc edit, and a sibling must
+    never dlopen a half-written library (rename(2) is atomic; a loser of
+    the race just replaces the winner's identical output)."""
     if not force and os.path.exists(_SO) and (
         os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
     ):
         return True
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _SO, _SRC, "-lpthread", "-ldl",
+        "-o", tmp, _SRC, "-lpthread", "-ldl",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -123,11 +135,12 @@ except Exception:
 
 def parse_probe(data: bytes):
     """Test-only: run the native wire parser on a datagram.  Returns
-    (version, type, seq, timestamp, ssrc, marker, payload_offset) or None
-    if the engine would drop it as malformed — for differential fuzzing
-    against net.rtp.RTPHeader.from_bytes."""
+    (version, type, seq, timestamp, ssrc, marker, payload_offset,
+    pad_len) or None if the engine would drop it as malformed — for
+    differential fuzzing against net.rtp.RTPHeader.from_bytes +
+    rtp_payload (pad_len encodes the padding-strip semantics)."""
     lib = _load()
-    out = (ctypes.c_longlong * 7)()
+    out = (ctypes.c_longlong * 8)()
     if not lib.rtp_parse_probe(data, len(data), out):
         return None
     return tuple(int(v) for v in out)
@@ -149,11 +162,21 @@ class RTPReceiver:
     ):
         self._lib = _load()
         self.block_len = block_len
+        # resolve hostnames host-side (the Python path's getaddrinfo,
+        # net/multicast.py); the C engine takes dotted quads only and now
+        # fails LOUDLY instead of falling back to a deaf INADDR_ANY bind
+        import socket as _socket
+
+        try:
+            group = _socket.gethostbyname(group)
+        except OSError as e:
+            raise OSError(f"cannot resolve multicast group {group!r}: {e}")
         self._h = self._lib.rtp_rx_create(
             group.encode(), port, block_len, int(skip_legacy), ring_blocks
         )
         if not self._h:
-            raise OSError(f"rtp_rx_create failed for {group}:{port}")
+            raise OSError(f"rtp_rx_create failed for {group}:{port} "
+                          "(bad group address, bind, or membership)")
 
     def get_block(self, timeout_ms: int = 1000):
         out = np.empty((self.block_len, 2), np.float32)

@@ -40,7 +40,6 @@ constexpr int RTP_MIN_SIZE = 12;
 constexpr int IQ_PT = 97;
 constexpr int IQ_PT8 = 98;
 constexpr int LEGACY_STATUS = 24;
-constexpr int MAX_TIME_STEP = 1 << 24;  // sanity cap on gap fill (samples)
 constexpr int BATCH = 64;               // recvmmsg batch
 constexpr int MAX_PKT = 9216;
 
@@ -52,6 +51,7 @@ struct RtpHeader {
   uint32_t ssrc;
   bool marker;
   int payload_offset;
+  int pad_len;      // trailing RTP padding bytes (0 if pad bit clear)
 };
 
 // ntoh_rtp equivalent (multicast.c:242-277); returns false if malformed.
@@ -60,6 +60,7 @@ bool parse_rtp(const uint8_t* d, int len, RtpHeader* h) {
   h->version = d[0] >> 6;
   int cc = d[0] & 0xF;
   bool extension = (d[0] >> 4) & 1;
+  bool pad = (d[0] >> 5) & 1;
   h->marker = d[1] >> 7;
   h->type = d[1] & 0x7F;
   h->seq = (uint16_t)((d[2] << 8) | d[3]);
@@ -73,6 +74,17 @@ bool parse_rtp(const uint8_t* d, int len, RtpHeader* h) {
   }
   if (off > len) return false;
   h->payload_offset = off;
+  // RFC 3550 §5.1: with the pad bit set, the last octet counts the
+  // padding (itself included).  The reference strips it before decode
+  // (opus.c:190-194) and so does net/rtp.py rtp_payload — consumers
+  // here subtract pad_len from the payload length.  A bogus pad count
+  // (0 or more than the payload) yields an EMPTY payload, exactly
+  // rtp_payload's tolerance, not a parse failure.
+  h->pad_len = 0;
+  if (pad && len > off) {
+    int pl = d[len - 1];
+    h->pad_len = (pl <= 0 || pl > len - off) ? (len - off) : pl;
+  }
   return true;
 }
 
@@ -87,19 +99,27 @@ int make_mcast_rx(const char* group, int port) {
   sockaddr_in sin{};
   sin.sin_family = AF_INET;
   sin.sin_port = htons(port);
-  // bind the group address itself (destination filter; multicast.c:197)
-  inet_pton(AF_INET, group, &sin.sin_addr);
+  // bind the group address itself (destination filter; multicast.c:197).
+  // FAIL LOUDLY on a bad group string or bind failure — the old
+  // INADDR_ANY fallback either left the daemon silently deaf (failed
+  // group join) or cross-delivered every stream on the port, and the
+  // Python net/multicast.py deliberately removed exactly this fallback.
+  if (inet_pton(AF_INET, group, &sin.sin_addr) != 1) {
+    close(fd);
+    return -1;
+  }
   if (bind(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-    sin.sin_addr.s_addr = INADDR_ANY;
-    if (bind(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-      close(fd);
-      return -1;
-    }
+    close(fd);
+    return -1;
   }
   ip_mreq mreq{};
   inet_pton(AF_INET, group, &mreq.imr_multiaddr);
   mreq.imr_interface.s_addr = INADDR_ANY;
-  setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
+  if (setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq)) <
+      0) {
+    close(fd);
+    return -1;
+  }
   timeval tv{0, 200000};  // wake periodically to check shutdown
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   return fd;
@@ -135,8 +155,13 @@ struct RxEngine {
     {
       std::lock_guard<std::mutex> lk(mu);
       long long w = wseq.load() + 1;
-      if (w - rseq > nblocks) {  // overrun: drop oldest
-        rseq = w - nblocks;
+      // Keep ONE slot of gap (effective capacity nblocks-1): the writer
+      // fills cur() = slot wseq OUTSIDE this mutex, so letting the ring
+      // reach wseq-rseq == nblocks would alias the fill slot with the
+      // slot the reader is memcpy-ing under the lock (torn blocks once
+      // a consumer stalls >1.2 s, e.g. a first TPU compile).
+      if (w - rseq > nblocks - 1) {  // overrun: drop oldest
+        rseq = w - (nblocks - 1);
         overruns++;
       }
       wseq.store(w);
@@ -184,7 +209,7 @@ struct RxEngine {
     if (!parse_rtp(data, len, &h)) return;
     if (h.type != IQ_PT && h.type != IQ_PT8) return;
     const uint8_t* payload = data + h.payload_offset;
-    int plen = len - h.payload_offset;
+    int plen = len - h.payload_offset - h.pad_len;  // strip RTP padding
     if (skip_legacy) {  // main.c:338-341: unconditional 24-byte skip
       if (plen < LEGACY_STATUS) return;
       payload += LEGACY_STATUS;
@@ -214,7 +239,11 @@ struct RxEngine {
     // producer restart that keeps its SSRC but picks a new timestamp
     // origin must not black out ingest until int32 wrap.
     timestamp = h.timestamp + sampcnt;
-    if (time_step > MAX_TIME_STEP) return;
+    // Gap-fill sanity cap, ring-bounded: zero-filling more than the ring
+    // holds just flushes every real sample for no benefit (the reference
+    // caps at ~1 s, radio.c:77-79; one ring is 1.28 s at 20 ms blocks).
+    // A single bit-flipped timestamp used to inject up to 2^24 zeros.
+    if ((long long)time_step > (long long)nblocks * block_len) return;
     if (time_step > 0) {
       gap_samples += time_step;
       push_zeros(time_step);
@@ -387,11 +416,11 @@ struct OpusTxEngine {
       uint32_t ts = s.ts_out;
       s.ts_out += (uint32_t)frame_len;
       frames_enc++;
+      if (n < 0) continue;  // encoder error: drop the frame, keep the clock
       if (n <= 2) {  // DTX: no packet, timestamp advances (opus.c:372-379)
         s.silent = true;
         continue;
       }
-      if (n < 0) continue;  // encoder error: drop the frame, keep the clock
       uint8_t* p = pkt;
       *p++ = 0x80;
       *p++ = (uint8_t)((s.silent ? 0x80 : 0) | OPUS_PT);
@@ -429,7 +458,7 @@ struct OpusTxEngine {
 
     const int channels = (h.type == PCM_MONO_PT) ? 1 : 2;
     const uint8_t* payload = data + h.payload_offset;
-    int plen = len - h.payload_offset;
+    int plen = len - h.payload_offset - h.pad_len;  // strip RTP padding
     int frames = plen / (2 * channels);  // ragged tails truncated
 
     // rtp_process (multicast.c:305-340), per session
@@ -506,18 +535,19 @@ struct OpusTxEngine {
 extern "C" {
 
 // Test-only: run the wire parser on an arbitrary datagram so the Python
-// suite can differentially fuzz it against net/rtp.py's parser.  out7 =
-// {version, type, seq, timestamp, ssrc, marker, payload_offset}.
-int rtp_parse_probe(const uint8_t* data, int len, long long* out7) {
+// suite can differentially fuzz it against net/rtp.py's parser.  out8 =
+// {version, type, seq, timestamp, ssrc, marker, payload_offset, pad_len}.
+int rtp_parse_probe(const uint8_t* data, int len, long long* out8) {
   RtpHeader h;
   if (!parse_rtp(data, len, &h)) return 0;
-  out7[0] = h.version;
-  out7[1] = h.type;
-  out7[2] = h.seq;
-  out7[3] = h.timestamp;
-  out7[4] = h.ssrc;
-  out7[5] = h.marker ? 1 : 0;
-  out7[6] = h.payload_offset;
+  out8[0] = h.version;
+  out8[1] = h.type;
+  out8[2] = h.seq;
+  out8[3] = h.timestamp;
+  out8[4] = h.ssrc;
+  out8[5] = h.marker ? 1 : 0;
+  out8[6] = h.payload_offset;
+  out8[7] = h.pad_len;
   return 1;
 }
 

@@ -305,14 +305,64 @@ def test_timestamp_jump_resyncs_stream():
     rx.close()
 
 
+def test_native_rx_bad_group_fails_loudly():
+    """(r4 review) A garbage group string must raise at create: the old
+    INADDR_ANY fallback left the daemon silently deaf (failed join) or
+    cross-delivered every stream on the port.  Same loud contract as
+    net/multicast.py; hostnames still resolve host-side."""
+    from ka9q_sdr_tpu.native import RTPReceiver
+
+    with pytest.raises(OSError):
+        RTPReceiver("not.a.real.host.invalid", 5504, block_len=240)
+    with pytest.raises(OSError):
+        # resolvable but not bindable as a local destination filter
+        RTPReceiver("0.0.0.1", 5504, block_len=240)
+
+
+def test_native_rx_strips_rtp_padding():
+    """(r4 review) A padded I/Q packet (RFC 3550 pad bit + trailing count
+    byte) must contribute only its real samples — the engine used to
+    decode the padding as I/Q and advance the clock by it, desyncing the
+    stream (the Python path strips it via rtp_payload)."""
+    from ka9q_sdr_tpu.native import RTPReceiver
+    from ka9q_sdr_tpu.net.multicast import setup_mcast
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, IQ_PT
+
+    rx = RTPReceiver("239.77.1.13", 5506, block_len=240, skip_legacy=False)
+    tx = setup_mcast("239.77.1.13:5506", output=True, ttl=0)
+    payload = np.full(240, 2000, np.int16).astype("<i2").tobytes()  # 120 samp
+    pad = b"\x00\x00\x00\x04"                 # 4 pad bytes, count included
+    for seq in range(4):
+        hdr = RTPHeader(type=IQ_PT, seq=seq, timestamp=seq * 120, ssrc=13,
+                        pad=True)
+        tx.send(hdr.to_bytes() + payload + pad)
+    blocks = []
+    for _ in range(2):
+        b = rx.get_block(2000)
+        if b is None:
+            break
+        blocks.append(b)
+    # 4 x 120 padded samples = 2 dense blocks, no gaps/dupes, all 2000s
+    assert len(blocks) == 2, f"padded stream desynced: got {len(blocks)}"
+    scale = 2000 / 32767.0
+    for b in blocks:
+        assert np.allclose(b[:, 0], scale) and np.allclose(b[:, 1], scale)
+    stats = rx.stats()
+    assert stats["drops"] == 0 and stats["dupes"] == 0
+    assert stats["gap_samples"] == 0
+    rx.close()
+
+
 def test_rtp_parser_differential_fuzz():
     """The native wire parser and net.rtp.RTPHeader.from_bytes must agree
-    on every datagram: same accept/reject verdict, and identical header
-    fields + payload offset when accepted.  Random garbage plus structured
-    mutations (flags, CSRC counts, extensions, truncations)."""
+    on every datagram: same accept/reject verdict, identical header
+    fields + payload offset when accepted, and the same padding-strip
+    semantics as rtp_payload (incl. the bogus-pad-count -> empty-payload
+    tolerance).  Random garbage plus structured mutations (flags, CSRC
+    counts, extensions, padding, truncations)."""
     import struct
     from ka9q_sdr_tpu.native import parse_probe
-    from ka9q_sdr_tpu.net.rtp import RTPHeader
+    from ka9q_sdr_tpu.net.rtp import RTPHeader, rtp_payload
 
     rng = np.random.default_rng(2809)
 
@@ -321,8 +371,9 @@ def test_rtp_parser_differential_fuzz():
             h, off = RTPHeader.from_bytes(pkt)
         except ValueError:
             return None
+        pad_len = len(pkt) - off - len(rtp_payload(h, pkt, off))
         return (h.version, h.type, h.seq, h.timestamp, h.ssrc,
-                int(h.marker), off)
+                int(h.marker), off, pad_len)
 
     cases = []
     # pure garbage, every length 0..40 plus some larger
