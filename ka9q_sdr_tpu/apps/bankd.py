@@ -264,12 +264,11 @@ class BankDaemon:
         if args.output and not getattr(args, "no_native", False):
             try:
                 from ..native import PCMFanoutSender
+                from ..net.multicast import _parse_target
 
-                name, port = args.output.rsplit(":", 1)
-                import socket as _socket
-
+                name, port, _ = _parse_target(args.output)
                 self.native_pcm = PCMFanoutSender(
-                    _socket.gethostbyname(name), int(port), ttl=args.ttl,
+                    name, port, ttl=args.ttl,
                     ssrc_base=1, max_channels=self.n_real,
                 )
             except Exception as e:
@@ -604,10 +603,9 @@ class MultiBankDaemon:
         if args.output and not getattr(args, "no_native", False):
             try:
                 from ..native import PCMFanoutSender
-                import socket as _socket
+                from ..net.multicast import _parse_target
 
-                name, port = args.output.rsplit(":", 1)
-                addr = _socket.gethostbyname(name)
+                addr, port, _ = _parse_target(args.output)
                 base = 1
                 for g, (row, cfg) in enumerate(zip(self.pcms, self.mb.cfgs)):
                     # FM/AM demodulate to mono regardless of the mode
@@ -933,9 +931,12 @@ def run_multibank(args, groups) -> int:
             # MultiBank.process's 2-D fast path — same engine the
             # single-mode flagship uses, which matters on 1-core hosts
             from ..native import RTPReceiver
+            from ..net.multicast import _parse_target
 
-            host, _, port = args.input.partition(":")
-            rx = RTPReceiver(host, int(port or 5004), block_len=L)
+            host, port, iface = _parse_target(args.input)
+            if iface and ":" in host and "%" not in host:
+                host = f"{host}%{iface}"   # scope for link-local v6
+            rx = RTPReceiver(host, port, block_len=L)
             while True:
                 d.poll_commands()
                 block = rx.get_block(1000)
@@ -1078,11 +1079,13 @@ def main(argv=None) -> int:
             # the chip and fetches pipeline (copy_to_host_async) to hide
             # the transfer latency.
             from ..native import RTPReceiver
+            from ..net.multicast import _parse_target
             from collections import deque
 
-            host, _, port = args.input.partition(":")
-            rx = RTPReceiver(host, int(port or 5004),
-                             block_len=d.cfg.master.L)
+            host, port, iface = _parse_target(args.input)
+            if iface and ":" in host and "%" not in host:
+                host = f"{host}%{iface}"   # scope for link-local v6
+            rx = RTPReceiver(host, port, block_len=d.cfg.master.L)
             pending = deque()
             L_dec = d.cfg.L_dec
             # KA9Q_BANKD_TIMING=1: per-phase loop timing every 250 blocks

@@ -77,13 +77,16 @@ def native_main(args) -> int:
     import numpy as np
 
     from ..native import RTPSender
+    from ..net.multicast import _parse_target
 
-    host, _, port = args.output.partition(":")
+    host, port, iface = _parse_target(args.output)
+    if iface and ":" in host and "%" not in host:
+        host = f"{host}%{iface}"   # scope for link-local v6
     for path in args.files:
         attrs = read_metadata(path) if path != "-" else {}
         samprate = args.samprate or int(attrs.get("samplerate", 192000))
         freq = args.frequency or float(attrs.get("frequency", 0.0))
-        tx = RTPSender(host, int(port or 5004), samprate=int(samprate),
+        tx = RTPSender(host, port, samprate=int(samprate),
                        frequency=freq, ttl=args.ttl)
         fh = sys.stdin.buffer if path == "-" else open(path, "rb")
         sent = 0

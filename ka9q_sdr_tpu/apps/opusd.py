@@ -62,14 +62,9 @@ def main(argv=None) -> int:
         try:
             from ..native import NativeOpusTranscoder
 
-            import socket as _socket
-
             in_host, in_port, _ = _parse_target(args.input)
             out_host, out_port, _ = _parse_target(args.output)
-            # the C engine takes dotted quads only (inet_pton); the
-            # deploy units use avahi-style names — resolve here
-            in_host = _socket.gethostbyname(in_host)
-            out_host = _socket.gethostbyname(out_host)
+            # names resolve dual-stack inside the wrapper (_resolve_group)
             eng = NativeOpusTranscoder(
                 in_host, out_host, in_port, out_port,
                 bitrate=args.bitrate, frame_ms=args.frame_ms, dtx=args.dtx,

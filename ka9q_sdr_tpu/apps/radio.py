@@ -448,10 +448,13 @@ class RadioDaemon:
         if use_native:
             try:
                 from ..native import RTPReceiver
+                from ..net.multicast import _parse_target
 
-                host, _, port = self.args.input.partition(":")
+                host, port, iface = _parse_target(self.args.input)
+                if iface and ":" in host and "%" not in host:
+                    host = f"{host}%{iface}"   # scope for link-local v6
                 rx_native = RTPReceiver(
-                    host, int(port or 5004), block_len=self.args.blocksize
+                    host, port, block_len=self.args.blocksize
                 )
             except OSError:
                 use_native = False

@@ -133,6 +133,27 @@ except Exception:
     NATIVE_AVAILABLE = False
 
 
+def _resolve_group(group: str) -> str:
+    """Resolve a hostname or literal to the numeric form the C engine's
+    AI_NUMERICHOST getaddrinfo accepts — dual-stack (the Python path's
+    PF_UNSPEC loop, net/multicast.py).  IPv6 zone suffixes (%eth0) pass
+    through; getaddrinfo preserves them on link-local results."""
+    import socket as _socket
+
+    try:
+        infos = _socket.getaddrinfo(
+            group, None, _socket.AF_UNSPEC, _socket.SOCK_DGRAM)
+    except OSError as e:
+        raise OSError(f"cannot resolve multicast group {group!r}: {e}")
+    family, _, _, _, sa = infos[0]
+    host = sa[0]
+    # getaddrinfo returns the zone separately (sa[3]) for scoped v6
+    # groups; reattach it numerically so the C side binds with the scope
+    if family == _socket.AF_INET6 and sa[3] and "%" not in host:
+        host = f"{host}%{sa[3]}"
+    return host
+
+
 def parse_probe(data: bytes):
     """Test-only: run the native wire parser on a datagram.  Returns
     (version, type, seq, timestamp, ssrc, marker, payload_offset,
@@ -162,15 +183,10 @@ class RTPReceiver:
     ):
         self._lib = _load()
         self.block_len = block_len
-        # resolve hostnames host-side (the Python path's getaddrinfo,
-        # net/multicast.py); the C engine takes dotted quads only and now
-        # fails LOUDLY instead of falling back to a deaf INADDR_ANY bind
-        import socket as _socket
-
-        try:
-            group = _socket.gethostbyname(group)
-        except OSError as e:
-            raise OSError(f"cannot resolve multicast group {group!r}: {e}")
+        # resolve hostnames host-side (dual-stack); the C engine takes
+        # numeric literals only and fails LOUDLY instead of falling back
+        # to a deaf INADDR_ANY bind
+        group = _resolve_group(group)
         self._h = self._lib.rtp_rx_create(
             group.encode(), port, block_len, int(skip_legacy), ring_blocks
         )
@@ -237,6 +253,7 @@ class PCMFanoutSender:
         channels: int = 1,
     ):
         self._lib = _load()
+        group = _resolve_group(group)
         self._h = self._lib.pcm_tx_create(
             group.encode(), port, ttl, ssrc_base, max_channels, channels
         )
@@ -314,6 +331,8 @@ class NativeOpusTranscoder:
         if frame_ms not in LEGAL_FRAMES_MS:
             raise ValueError(f"illegal Opus frame {frame_ms} ms")
         self._lib = _load()
+        input_group = _resolve_group(input_group)
+        output_group = _resolve_group(output_group)
         self._h = self._lib.opus_tx_create(
             input_group.encode(), input_port, output_group.encode(),
             output_port, bitrate, int(48000 * frame_ms / 1000), int(dtx),
@@ -361,6 +380,7 @@ class RTPSender:
         ssrc: int = 0,
     ):
         self._lib = _load()
+        group = _resolve_group(group)
         self._h = self._lib.rtp_tx_create(
             group.encode(), port, samprate, frequency, ttl, ssrc or 1
         )

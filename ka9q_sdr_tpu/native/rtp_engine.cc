@@ -18,9 +18,11 @@
 
 #include <arpa/inet.h>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <dlfcn.h>
 #include <net/if.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <sys/socket.h>
 #include <sys/time.h>
@@ -88,41 +90,129 @@ bool parse_rtp(const uint8_t* d, int len, RtpHeader* h) {
   return true;
 }
 
+// Resolve a numeric group literal (dotted quad, or an IPv6 literal with
+// an optional RFC 4007 "%zone") + port to its sockaddr.  Dual-stack like
+// the reference's PF_UNSPEC getaddrinfo loop (multicast.c:160-201); name
+// resolution stays host-side in the Python wrappers.  Returns the
+// address family, or -1.
+int resolve_udp(const char* group, int port, sockaddr_storage* ss,
+                socklen_t* slen) {
+  addrinfo hints{};
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_DGRAM;
+  hints.ai_protocol = IPPROTO_UDP;
+  hints.ai_flags = AI_NUMERICHOST | AI_NUMERICSERV;
+  char ps[16];
+  snprintf(ps, sizeof(ps), "%d", port);
+  addrinfo* res = nullptr;
+  if (getaddrinfo(group, ps, &hints, &res) != 0 || !res) return -1;
+  memcpy(ss, res->ai_addr, res->ai_addrlen);
+  *slen = (socklen_t)res->ai_addrlen;
+  int fam = res->ai_family;
+  freeaddrinfo(res);
+  return fam;
+}
+
+// IGMP/MLD-snooping workaround join, both directions (multicast.c:208-217).
+// Returns false only when the address IS multicast and the join failed
+// (a receiver that can't join is silently deaf on a snooping switch).
+bool join_own_group(int fd, const sockaddr_storage* ss) {
+  if (ss->ss_family == AF_INET6) {
+    auto* s6 = (const sockaddr_in6*)ss;
+    if (!IN6_IS_ADDR_MULTICAST(&s6->sin6_addr)) return true;
+    ipv6_mreq m{};
+    m.ipv6mr_multiaddr = s6->sin6_addr;
+    m.ipv6mr_interface = s6->sin6_scope_id;  // 0 = kernel default
+    return setsockopt(fd, IPPROTO_IPV6, IPV6_JOIN_GROUP, &m, sizeof(m)) ==
+           0;
+  }
+  auto* s4 = (const sockaddr_in*)ss;
+  if (!IN_MULTICAST(ntohl(s4->sin_addr.s_addr))) return true;
+  ip_mreq m{};
+  m.imr_multiaddr = s4->sin_addr;
+  m.imr_interface.s_addr = INADDR_ANY;
+  return setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &m, sizeof(m)) == 0;
+}
+
 int make_mcast_rx(const char* group, int port) {
-  int fd = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+  sockaddr_storage ss{};
+  socklen_t slen = 0;
+  int fam = resolve_udp(group, port, &ss, &slen);
+  if (fam < 0) return -1;
+  int fd = socket(fam, SOCK_DGRAM, IPPROTO_UDP);
   if (fd < 0) return -1;
   int reuse = 1;
   setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
   setsockopt(fd, SOL_SOCKET, SO_REUSEPORT, &reuse, sizeof(reuse));
   int rcvbuf = 32 << 20;
   setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
-  sockaddr_in sin{};
-  sin.sin_family = AF_INET;
-  sin.sin_port = htons(port);
   // bind the group address itself (destination filter; multicast.c:197).
   // FAIL LOUDLY on a bad group string or bind failure — the old
   // INADDR_ANY fallback either left the daemon silently deaf (failed
   // group join) or cross-delivered every stream on the port, and the
   // Python net/multicast.py deliberately removed exactly this fallback.
-  if (inet_pton(AF_INET, group, &sin.sin_addr) != 1) {
+  if (bind(fd, (sockaddr*)&ss, slen) < 0) {
     close(fd);
     return -1;
   }
-  if (bind(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-    close(fd);
-    return -1;
-  }
-  ip_mreq mreq{};
-  inet_pton(AF_INET, group, &mreq.imr_multiaddr);
-  mreq.imr_interface.s_addr = INADDR_ANY;
-  if (setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq)) <
-      0) {
+  if (!join_own_group(fd, &ss)) {
     close(fd);
     return -1;
   }
   timeval tv{0, 200000};  // wake periodically to check shutdown
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   return fd;
+}
+
+// Connected multicast send socket with per-family TTL/hops + loopback and
+// the own-group join (multicast.c:173-217, output branch).
+int make_mcast_tx(const char* group, int port, int ttl) {
+  sockaddr_storage ss{};
+  socklen_t slen = 0;
+  int fam = resolve_udp(group, port, &ss, &slen);
+  if (fam < 0) return -1;
+  int fd = socket(fam, SOCK_DGRAM, IPPROTO_UDP);
+  if (fd < 0) return -1;
+  if (fam == AF_INET6) {
+    int hops = ttl, loop = 1;
+    setsockopt(fd, IPPROTO_IPV6, IPV6_MULTICAST_HOPS, &hops, sizeof(hops));
+    setsockopt(fd, IPPROTO_IPV6, IPV6_MULTICAST_LOOP, &loop, sizeof(loop));
+    auto* s6 = (const sockaddr_in6*)&ss;
+    if (s6->sin6_scope_id) {  // scoped (link-local) group: pin the egress
+      unsigned idx = s6->sin6_scope_id;
+      setsockopt(fd, IPPROTO_IPV6, IPV6_MULTICAST_IF, &idx, sizeof(idx));
+    }
+  } else {
+    unsigned char t = (unsigned char)ttl, loop = 1;
+    setsockopt(fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof(t));
+    setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
+  }
+  if (connect(fd, (sockaddr*)&ss, slen) < 0) {
+    close(fd);
+    return -1;
+  }
+  join_own_group(fd, &ss);  // best-effort on the send side
+  return fd;
+}
+
+// Family-agnostic sender identity for session demux keys: the v4 address
+// word, or an FNV-1a fold of the 16 v6 bytes.
+inline uint32_t sender_hash(const sockaddr_storage& ss) {
+  if (ss.ss_family == AF_INET6) {
+    auto* s6 = (const sockaddr_in6*)&ss;
+    uint32_t h = 2166136261u;
+    for (int i = 0; i < 16; i++) {
+      h ^= s6->sin6_addr.s6_addr[i];
+      h *= 16777619u;
+    }
+    return h;
+  }
+  return ((const sockaddr_in*)&ss)->sin_addr.s_addr;
+}
+
+inline uint32_t sender_port(const sockaddr_storage& ss) {
+  return ss.ss_family == AF_INET6 ? ((const sockaddr_in6*)&ss)->sin6_port
+                                  : ((const sockaddr_in*)&ss)->sin_port;
 }
 
 struct RxEngine {
@@ -435,12 +525,13 @@ struct OpusTxEngine {
     if (off) s.buf.erase(s.buf.begin(), s.buf.begin() + off);
   }
 
-  void handle(const uint8_t* data, int len, const sockaddr_in& from) {
+  void handle(const uint8_t* data, int len, const sockaddr_storage& from) {
     RtpHeader h;
     if (!parse_rtp(data, len, &h)) return;
     if (h.type != PCM_MONO_PT && h.type != PCM_STEREO_PT) return;
     pkts_in++;
-    std::array<uint32_t, 3> key{from.sin_addr.s_addr, from.sin_port, h.ssrc};
+    std::array<uint32_t, 3> key{sender_hash(from), sender_port(from),
+                                h.ssrc};
     auto it = sessions.find(key);
     if (it == sessions.end()) {
       if ((int)sessions.size() >= max_sessions) {  // hostile-SSRC flood cap
@@ -510,7 +601,7 @@ struct OpusTxEngine {
                                            std::vector<uint8_t>(MAX_PKT));
     mmsghdr msgs[BATCH];
     iovec iovs[BATCH];
-    sockaddr_in addrs[BATCH];
+    sockaddr_storage addrs[BATCH];
     for (int i = 0; i < BATCH; i++) {
       iovs[i] = {bufs[i].data(), (size_t)MAX_PKT};
       memset(&msgs[i], 0, sizeof(msgs[i]));
@@ -520,7 +611,7 @@ struct OpusTxEngine {
     while (!stop.load()) {
       for (int i = 0; i < BATCH; i++) {  // msg_namelen is clobbered per call
         msgs[i].msg_hdr.msg_name = &addrs[i];
-        msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+        msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_storage);
       }
       int n = recvmmsg(in_fd, msgs, BATCH, MSG_WAITFORONE, nullptr);
       if (n <= 0) continue;
@@ -616,25 +707,8 @@ void rtp_rx_destroy(void* h) {
 
 void* rtp_tx_create(const char* group, int port, int samprate,
                     double frequency, int ttl, unsigned int ssrc) {
-  int fd = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+  int fd = make_mcast_tx(group, port, ttl);
   if (fd < 0) return nullptr;
-  unsigned char t = (unsigned char)ttl;
-  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof(t));
-  unsigned char loop = 1;
-  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
-  sockaddr_in sin{};
-  sin.sin_family = AF_INET;
-  sin.sin_port = htons(port);
-  inet_pton(AF_INET, group, &sin.sin_addr);
-  if (connect(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-    close(fd);
-    return nullptr;
-  }
-  // join own group (IGMP-snooping workaround, multicast.c:208-217)
-  ip_mreq mreq{};
-  inet_pton(AF_INET, group, &mreq.imr_multiaddr);
-  mreq.imr_interface.s_addr = INADDR_ANY;
-  setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
   auto* e = new TxEngine();
   e->fd = fd;
   e->samprate = samprate;
@@ -701,24 +775,8 @@ void rtp_tx_destroy(void* h) {
 
 void* pcm_tx_create(const char* group, int port, int ttl,
                     unsigned int ssrc_base, int max_channels, int channels) {
-  int fd = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+  int fd = make_mcast_tx(group, port, ttl);
   if (fd < 0) return nullptr;
-  unsigned char t = (unsigned char)ttl;
-  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof(t));
-  unsigned char loop = 1;
-  setsockopt(fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
-  sockaddr_in sin{};
-  sin.sin_family = AF_INET;
-  sin.sin_port = htons(port);
-  inet_pton(AF_INET, group, &sin.sin_addr);
-  if (connect(fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-    close(fd);
-    return nullptr;
-  }
-  ip_mreq mreq{};
-  inet_pton(AF_INET, group, &mreq.imr_multiaddr);
-  mreq.imr_interface.s_addr = INADDR_ANY;
-  setsockopt(fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
   auto* e = new PcmTxEngine();
   e->fd = fd;
   e->ssrc_base = ssrc_base;
@@ -837,29 +895,11 @@ void* opus_tx_create(const char* in_group, int in_port, const char* out_group,
   }
   int in_fd = make_mcast_rx(in_group, in_port);
   if (in_fd < 0) return nullptr;
-  int out_fd = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+  int out_fd = make_mcast_tx(out_group, out_port, ttl);
   if (out_fd < 0) {
     close(in_fd);
     return nullptr;
   }
-  unsigned char t = (unsigned char)ttl;
-  setsockopt(out_fd, IPPROTO_IP, IP_MULTICAST_TTL, &t, sizeof(t));
-  unsigned char loop = 1;
-  setsockopt(out_fd, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
-  sockaddr_in sin{};
-  sin.sin_family = AF_INET;
-  sin.sin_port = htons(out_port);
-  inet_pton(AF_INET, out_group, &sin.sin_addr);
-  if (connect(out_fd, (sockaddr*)&sin, sizeof(sin)) < 0) {
-    close(in_fd);
-    close(out_fd);
-    return nullptr;
-  }
-  ip_mreq mreq{};  // join own group (IGMP-snooping workaround)
-  inet_pton(AF_INET, out_group, &mreq.imr_multiaddr);
-  mreq.imr_interface.s_addr = INADDR_ANY;
-  setsockopt(out_fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
-
   auto* e = new OpusTxEngine();
   e->in_fd = in_fd;
   e->out_fd = out_fd;

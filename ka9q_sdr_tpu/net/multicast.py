@@ -4,10 +4,21 @@ Same target syntax ("name:port,iface"), same socket options (REUSEPORT/
 REUSEADDR, TTL, loopback enabled, EF DSCP), and the same IGMP-snooping
 workaround: senders also JOIN the group they transmit to
 (multicast.c:208-217), so dumb switches don't flood or drop the stream.
+
+Dual-stack like the reference (hints.ai_family = PF_UNSPEC,
+multicast.c:160): getaddrinfo results are tried in order and the first
+family that creates + connects/binds wins, with per-family socket
+options (IP_* vs IPV6_*) and joins (ip_mreqn vs ipv6_mreq).  IPv6
+literal targets use the bracketed form "[ff05::114]:5004" or, with no
+port, the bare literal; link-local (ff02::/16) groups additionally need
+an interface — ",eth0" or the RFC 4007 "%eth0" zone suffix — because
+the kernel refuses an unscoped link-local bind (EINVAL), which we
+surface loudly with the fix in the message.
 """
 
 from __future__ import annotations
 
+import ipaddress
 import socket
 import struct
 import sys
@@ -23,12 +34,69 @@ def _parse_target(target: str) -> tuple[str, int, str | None]:
     iface = None
     if "," in target:
         target, iface = target.rsplit(",", 1)
-    if ":" in target:
+    if target.startswith("["):              # [v6literal]:port
+        host, _, rest = target[1:].partition("]")
+        port = int(rest[1:]) if rest.startswith(":") else DEFAULT_MCAST_PORT
+    elif target.count(":") >= 2:            # bare v6 literal, default port
+        host, port = target, DEFAULT_MCAST_PORT
+    elif ":" in target:
         host, port_s = target.rsplit(":", 1)
         port = int(port_s)
     else:
         host, port = target, DEFAULT_MCAST_PORT
     return host, port, iface
+
+
+def _is_multicast(host: str) -> bool:
+    try:
+        return ipaddress.ip_address(host.split("%", 1)[0]).is_multicast
+    except ValueError:
+        return False
+
+
+def _set_options(fd: socket.socket, family: int, output: bool, ttl: int):
+    """soptions (multicast.c:18-48), per family."""
+    fd.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    if not output:
+        # Deep receive buffer: the jitted pipeline can stall the reader for
+        # a couple of seconds on first-compile; at 6.5 Mb/s that's ~2 MB of
+        # I/Q that must queue in the kernel instead of dropping.
+        try:
+            fd.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+        except OSError:
+            pass
+    try:
+        fd.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    except (AttributeError, OSError):
+        pass
+    if family == socket.AF_INET6:
+        fd.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_MULTICAST_HOPS, ttl)
+        fd.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_MULTICAST_LOOP, 1)
+        try:
+            fd.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_TCLASS,
+                          EF_TOS << 2)
+        except OSError:
+            pass
+    else:
+        fd.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
+        fd.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        try:
+            fd.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, EF_TOS << 2)
+        except OSError:
+            pass
+
+
+def _join(fd: socket.socket, family: int, group: str, ifidx: int):
+    """IGMP/MLD-snooping workaround join, both directions
+    (multicast.c:208-217)."""
+    if family == socket.AF_INET6:
+        mreq = (socket.inet_pton(socket.AF_INET6, group.split("%", 1)[0])
+                + struct.pack("@I", ifidx))
+        fd.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_JOIN_GROUP, mreq)
+    else:
+        mreq = (socket.inet_aton(group) + socket.inet_aton("0.0.0.0")
+                + struct.pack("@i", ifidx))
+        fd.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
 
 
 def setup_mcast(
@@ -46,70 +114,60 @@ def setup_mcast(
     """
     host, port, iface = _parse_target(target)
     port += offset
-    addr = socket.getaddrinfo(
-        host, port, socket.AF_INET, socket.SOCK_DGRAM, socket.IPPROTO_UDP
-    )[0][4]
-
-    fd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM, socket.IPPROTO_UDP)
-    # soptions (multicast.c:18-48)
-    fd.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    if not output:
-        # Deep receive buffer: the jitted pipeline can stall the reader for
-        # a couple of seconds on first-compile; at 6.5 Mb/s that's ~2 MB of
-        # I/Q that must queue in the kernel instead of dropping.
-        try:
-            fd.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
-        except OSError:
-            pass
     try:
-        fd.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
-    except (AttributeError, OSError):
-        pass
-    fd.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
-    fd.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
-    try:
-        fd.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, EF_TOS << 2)
+        ifidx = socket.if_nametoindex(iface) if iface else 0
     except OSError:
-        pass
+        print(f"multicast: unknown interface {iface!r}; joining on "
+              "the default interface", file=sys.stderr)
+        ifidx = 0
 
-    group = socket.inet_aton(addr[0])
-    is_mcast = (addr[0].split(".", 1)[0].isdigit()
-                and 224 <= int(addr[0].split(".", 1)[0]) <= 239)
+    # Link-local v6 groups must carry a zone for bind(); fold a ",iface"
+    # into the RFC 4007 suffix so getaddrinfo fills sin6_scope_id.
+    if ifidx and ":" in host and "%" not in host:
+        host = f"{host}%{iface}"
 
-    if output:
-        fd.connect(addr)
-    else:
-        # Bind to the group address itself (as the reference does,
-        # multicast.c:197 binds resp->ai_addr): an INADDR_ANY bind would
-        # also deliver datagrams addressed to OTHER groups on the same
-        # port — e.g. a receiver's own output-status stream arriving on
-        # its front-end-status socket.  Fail loudly like the reference
-        # instead of silently widening to the wildcard, which would make
-        # exactly that self-delivery feedback real on a misconfigured
-        # (non-local unicast) target.
+    infos = socket.getaddrinfo(
+        host, port, socket.AF_UNSPEC, socket.SOCK_DGRAM, socket.IPPROTO_UDP
+    )
+    last_err: OSError | None = None
+    # Try each result in order, first success wins (multicast.c:173-201).
+    for family, socktype, proto, _cname, addr in infos:
+        fd = socket.socket(family, socktype, proto)
         try:
-            fd.bind((addr[0], port))
+            _set_options(fd, family, output, ttl)
+            if family == socket.AF_INET6 and ifidx:
+                fd.setsockopt(socket.IPPROTO_IPV6,
+                              socket.IPV6_MULTICAST_IF, ifidx)
+            if output:
+                fd.connect(addr)
+            else:
+                # Bind to the group address itself (as the reference does,
+                # multicast.c:197 binds resp->ai_addr): an INADDR_ANY bind
+                # would also deliver datagrams addressed to OTHER groups on
+                # the same port — e.g. a receiver's own output-status
+                # stream arriving on its front-end-status socket.  Fail
+                # loudly instead of silently widening to the wildcard.
+                fd.bind(addr)
+            if _is_multicast(addr[0]):
+                scope = addr[3] if family == socket.AF_INET6 else ifidx
+                try:
+                    _join(fd, family, addr[0], scope or ifidx)
+                except OSError as e:
+                    # a receiver that can't join is silently deaf on a
+                    # snooping switch — say so like the reference's perror
+                    print(f"multicast: join {addr[0]} failed: {e}",
+                          file=sys.stderr)
+            return fd
         except OSError as e:
+            last_err = e
             fd.close()
-            raise OSError(
-                f"cannot bind receive socket to {addr[0]}:{port} "
-                f"(target {target!r}): {e}"
-            ) from e
 
-    # Join even when sending (IGMP-snooping workaround, multicast.c:208-217).
-    # One ip_mreqn covers both cases: ifindex 0 = kernel-chosen interface.
-    if is_mcast:
-        try:
-            ifidx = socket.if_nametoindex(iface) if iface else 0
-        except OSError:
-            print(f"multicast: unknown interface {iface!r}; joining on "
-                  "the default interface", file=sys.stderr)
-            ifidx = 0
-        mreq = group + socket.inet_aton("0.0.0.0") + struct.pack("@i", ifidx)
-        try:
-            fd.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-        except OSError as e:
-            # a receiver that can't join is silently deaf on a snooping
-            # switch — say so like the reference's perror (multicast.c)
-            print(f"multicast: join {addr[0]} failed: {e}", file=sys.stderr)
-    return fd
+    hint = ""
+    if host.count(":") >= 2 and host.split("%")[0].lower().startswith("ff02")\
+            and "%" not in host and not iface:
+        hint = (" (link-local IPv6 group needs an interface: append "
+                "',eth0' or use 'group%eth0')")
+    raise OSError(
+        f"cannot {'connect' if output else 'bind'} multicast socket to "
+        f"{host}:{port} (target {target!r}){hint}: {last_err}"
+    ) from last_err
