@@ -469,6 +469,12 @@ class BankDaemon:
                 f"{self.cfg.mode.name} bank (use a channel file with a "
                 f"{mode} group and the mixed-mode daemon)"
             )
+        if freq is not None and ch is None:
+            # per-channel keys with no OUTPUT_SSRC: nothing would apply —
+            # reject loudly, or the command counter implies acceptance
+            self._reject(f"frequency {freq!r} without OUTPUT_SSRC")
+        if dop and ch is None:
+            self._reject(f"doppler {dop!r} without OUTPUT_SSRC")
         if freq is not None and ch is not None:
             try:
                 self.bank.tune(ch, freq)
@@ -663,6 +669,18 @@ class MultiBankDaemon:
             return                       # someone else's command: drop whole
         for reason in bad:               # malformed values, ours: count+log
             self._reject(reason)
+        if gi is None:
+            # per-channel keys with no OUTPUT_SSRC: nothing would apply —
+            # reject loudly (the single-mode daemon does the same; filter
+            # swaps here are per-GROUP, so they need an address too)
+            if mode is not None:
+                self._reject(f"mode {mode!r} without OUTPUT_SSRC")
+            if freq is not None:
+                self._reject(f"frequency {freq!r} without OUTPUT_SSRC")
+            if dop:
+                self._reject(f"doppler {dop!r} without OUTPUT_SSRC")
+            if filt:
+                self._reject(f"filter {filt!r} without OUTPUT_SSRC")
         if mode is not None and gi is not None:
             # live mode change (radio.c:322-374): move the channel into
             # the target mode's group; any frequency/doppler keys in the

@@ -62,9 +62,13 @@ def main(argv=None) -> int:
         try:
             from ..native import NativeOpusTranscoder
 
-            in_host, in_port, _ = _parse_target(args.input)
-            out_host, out_port, _ = _parse_target(args.output)
-            # names resolve dual-stack inside the wrapper (_resolve_group)
+            in_host, in_port, in_if = _parse_target(args.input)
+            out_host, out_port, out_if = _parse_target(args.output)
+            if in_if and ":" in in_host and "%" not in in_host:
+                in_host = f"{in_host}%{in_if}"   # scope for link-local v6
+            if out_if and ":" in out_host and "%" not in out_host:
+                out_host = f"{out_host}%{out_if}"
+            # names resolve dual-stack inside the wrapper
             eng = NativeOpusTranscoder(
                 in_host, out_host, in_port, out_port,
                 bitrate=args.bitrate, frame_ms=args.frame_ms, dtx=args.dtx,

@@ -1073,8 +1073,7 @@ class ChannelBank:
         # Warm the retune path: a no-op self-tune compiles the six eager
         # .at[] update graphs now (remote compile is seconds each; a LIVE
         # retune must stay a ~3 ms dispatch)
-        self.state = bank_tune(cfg, self.state, 0, self.freqs[0],
-                               old_freq_hz=self.freqs[0])
+        self.state = bank_tune(cfg, self.state, 0, self.freqs[0])
 
     def _sharded_variant(self, ingest: str, pcm_out: bool):
         """Sharded twin of the lazy single-chip step variants: same
@@ -1185,17 +1184,17 @@ class ChannelBank:
         return pcm, idx, diag
 
     def tune(self, channel: int, freq_hz: float) -> None:
-        """Retune one channel without phase discontinuity: the block-phase
-        residue r keeps its value (phase is continuous, osc.c:24-27); only
-        the bin shift k and the residual NCO frequency change.  The host-
-        side frequency list supplies the old value so no device fetch is
-        needed (pure dispatch; see bank_tune)."""
-        old = self.freqs[channel]
+        """Retune one channel without phase discontinuity (the
+        radio.c:204-242 set_freq at bank scale): bank_tune reads the
+        channel's LIVE k (a doppler sweep may have re-centered it since
+        the last command) and adjusts the block-phase residue r by the
+        k-delta so accumulated phase is preserved — see bank_tune's
+        docstring for the continuity math.  Pure dispatch; no host fetch
+        of bulk state."""
         # device update FIRST: if it rejects the frequency (non-finite /
         # absurd magnitude raises in the fixed-point phase math), the
         # host-side list must not desync from the device state
-        self.state = bank_tune(self.cfg, self.state, channel, freq_hz,
-                               old_freq_hz=old)
+        self.state = bank_tune(self.cfg, self.state, channel, freq_hz)
         self.freqs[channel] = freq_hz
 
     def set_filter(
@@ -1369,11 +1368,9 @@ class MultiBank:
         """Retune one channel of one demod group, phase-continuously
         (ChannelBank.tune semantics; every channel of the mixed-mode bank
         is individually retunable like every reference receiver)."""
-        old = self.group_freqs[group][idx]
         # device update first, host list second (see ChannelBank.tune)
         self.states[group] = bank_tune(
             self.cfgs[group], self.states[group], idx, freq_hz,
-            old_freq_hz=old,
         )
         self.group_freqs[group][idx] = freq_hz
 

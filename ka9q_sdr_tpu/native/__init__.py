@@ -134,10 +134,18 @@ except Exception:
 
 
 def _resolve_group(group: str) -> str:
-    """Resolve a hostname or literal to the numeric form the C engine's
-    AI_NUMERICHOST getaddrinfo accepts — dual-stack (the Python path's
-    PF_UNSPEC loop, net/multicast.py).  IPv6 zone suffixes (%eth0) pass
-    through; getaddrinfo preserves them on link-local results."""
+    """First numeric form of `group` (see _resolve_candidates)."""
+    return _resolve_candidates(group)[0]
+
+
+def _resolve_candidates(group: str) -> list[str]:
+    """Resolve a hostname or literal to the numeric forms the C engine's
+    AI_NUMERICHOST getaddrinfo accepts — dual-stack, ALL results in
+    getaddrinfo order so callers can try each family like the reference's
+    PF_UNSPEC loop (multicast.c:173-201; a v6-first name on a v4-only
+    path must fall through to its A record, as setup_mcast does).  IPv6
+    zone suffixes (%eth0) pass through; the zone getaddrinfo returns
+    separately (sa[3]) is reattached numerically."""
     import socket as _socket
 
     try:
@@ -145,13 +153,14 @@ def _resolve_group(group: str) -> str:
             group, None, _socket.AF_UNSPEC, _socket.SOCK_DGRAM)
     except OSError as e:
         raise OSError(f"cannot resolve multicast group {group!r}: {e}")
-    family, _, _, _, sa = infos[0]
-    host = sa[0]
-    # getaddrinfo returns the zone separately (sa[3]) for scoped v6
-    # groups; reattach it numerically so the C side binds with the scope
-    if family == _socket.AF_INET6 and sa[3] and "%" not in host:
-        host = f"{host}%{sa[3]}"
-    return host
+    out: list[str] = []
+    for family, _, _, _, sa in infos:
+        host = sa[0]
+        if family == _socket.AF_INET6 and sa[3] and "%" not in host:
+            host = f"{host}%{sa[3]}"
+        if host not in out:
+            out.append(host)
+    return out
 
 
 def parse_probe(data: bytes):
@@ -185,11 +194,17 @@ class RTPReceiver:
         self.block_len = block_len
         # resolve hostnames host-side (dual-stack); the C engine takes
         # numeric literals only and fails LOUDLY instead of falling back
-        # to a deaf INADDR_ANY bind
-        group = _resolve_group(group)
-        self._h = self._lib.rtp_rx_create(
-            group.encode(), port, block_len, int(skip_legacy), ring_blocks
-        )
+        # to a deaf INADDR_ANY bind.  Try each resolved family in order
+        # (the reference's PF_UNSPEC loop): a v6-first name whose v6
+        # bind fails must fall through to its A record.
+        self._h = None
+        for cand in _resolve_candidates(group):
+            self._h = self._lib.rtp_rx_create(
+                cand.encode(), port, block_len, int(skip_legacy),
+                ring_blocks
+            )
+            if self._h:
+                break
         if not self._h:
             raise OSError(f"rtp_rx_create failed for {group}:{port} "
                           "(bad group address, bind, or membership)")
@@ -253,10 +268,13 @@ class PCMFanoutSender:
         channels: int = 1,
     ):
         self._lib = _load()
-        group = _resolve_group(group)
-        self._h = self._lib.pcm_tx_create(
-            group.encode(), port, ttl, ssrc_base, max_channels, channels
-        )
+        self._h = None
+        for cand in _resolve_candidates(group):
+            self._h = self._lib.pcm_tx_create(
+                cand.encode(), port, ttl, ssrc_base, max_channels, channels
+            )
+            if self._h:
+                break
         if not self._h:
             raise OSError(f"pcm_tx_create failed for {group}:{port}")
         self.channels = channels
@@ -331,13 +349,18 @@ class NativeOpusTranscoder:
         if frame_ms not in LEGAL_FRAMES_MS:
             raise ValueError(f"illegal Opus frame {frame_ms} ms")
         self._lib = _load()
-        input_group = _resolve_group(input_group)
-        output_group = _resolve_group(output_group)
-        self._h = self._lib.opus_tx_create(
-            input_group.encode(), input_port, output_group.encode(),
-            output_port, bitrate, int(48000 * frame_ms / 1000), int(dtx),
-            fec, ttl, max_sessions, complexity,
-        )
+        self._h = None
+        for in_cand in _resolve_candidates(input_group):
+            for out_cand in _resolve_candidates(output_group):
+                self._h = self._lib.opus_tx_create(
+                    in_cand.encode(), input_port, out_cand.encode(),
+                    output_port, bitrate, int(48000 * frame_ms / 1000),
+                    int(dtx), fec, ttl, max_sessions, complexity,
+                )
+                if self._h:
+                    break
+            if self._h:
+                break
         if not self._h:
             raise OSError(
                 f"opus_tx_create failed ({input_group}:{input_port} -> "
@@ -380,10 +403,13 @@ class RTPSender:
         ssrc: int = 0,
     ):
         self._lib = _load()
-        group = _resolve_group(group)
-        self._h = self._lib.rtp_tx_create(
-            group.encode(), port, samprate, frequency, ttl, ssrc or 1
-        )
+        self._h = None
+        for cand in _resolve_candidates(group):
+            self._h = self._lib.rtp_tx_create(
+                cand.encode(), port, samprate, frequency, ttl, ssrc or 1
+            )
+            if self._h:
+                break
         if not self._h:
             raise OSError(f"rtp_tx_create failed for {group}:{port}")
 

@@ -650,7 +650,10 @@ void* rtp_rx_create(const char* group, int port, int block_len,
   e->fd = fd;
   e->block_len = block_len;
   e->skip_legacy = skip_legacy;
-  e->nblocks = ring_blocks > 0 ? ring_blocks : 64;
+  // floor of 2: the ring keeps one slot of writer/reader gap (effective
+  // capacity nblocks-1, see commit_block), so a 1-block ring would be
+  // permanently deaf — every commit would immediately drop itself
+  e->nblocks = ring_blocks > 1 ? ring_blocks : (ring_blocks == 1 ? 2 : 64);
   e->ring.resize((size_t)e->nblocks * block_len * 2);
   e->thread = std::thread(&RxEngine::run, e);
   return e;

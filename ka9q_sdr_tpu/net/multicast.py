@@ -39,6 +39,23 @@ def _parse_target(target: str) -> tuple[str, int, str | None]:
         port = int(rest[1:]) if rest.startswith(":") else DEFAULT_MCAST_PORT
     elif target.count(":") >= 2:            # bare v6 literal, default port
         host, port = target, DEFAULT_MCAST_PORT
+        # 'ff05::114:5006' meaning group ff05::114 port 5006 is
+        # indistinguishable from the (valid) v6 address ff05::114:5006 —
+        # the reference's own strrchr(':') syntax cannot express
+        # literal-v6-plus-port at all (PARITY #14).  When the trailing
+        # hextet also reads as a plausible port and the prefix is still
+        # a valid literal, say which reading we took.
+        head, _, tail = target.rpartition(":")
+        if (tail.isdigit() and 1 <= int(tail) <= 65535
+                and not head.endswith(":")):
+            try:
+                ipaddress.ip_address(head)
+                print(f"multicast: treating {target!r} as a bare IPv6 "
+                      f"group on port {DEFAULT_MCAST_PORT}; for group "
+                      f"{head!r} port {tail} write '[{head}]:{tail}'",
+                      file=sys.stderr)
+            except ValueError:
+                pass
     elif ":" in target:
         host, port_s = target.rsplit(":", 1)
         port = int(port_s)

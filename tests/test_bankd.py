@@ -734,6 +734,51 @@ def test_multibank_rejects_counted(tmp_path, capsys):
     assert int(st.decode_int(items[StatusType.COMMAND_REJECTS])) == 1
 
 
+def test_unaddressed_per_channel_commands_reject(tmp_path, capsys):
+    """(r4 review) Per-channel keys with no OUTPUT_SSRC apply to nothing —
+    both daemons must tick the reject counter + log instead of silently
+    swallowing them after commands += 1 (the 'counter implies acceptance'
+    failure mode the reject plumbing exists to prevent)."""
+    import math
+
+    from ka9q_sdr_tpu.apps.bankd import (BankDaemon, MultiBankDaemon,
+                                         build_parser, read_channel_file)
+
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channels", str(N_CH)]
+    d = BankDaemon(build_parser().parse_args(argv), _freqs())
+
+    # frequency + doppler, no OUTPUT_SSRC: two rejects, state untouched
+    pkt = bytearray([1])
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1e6)
+    st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY, 500.0)
+    st.encode_eol(pkt)
+    d.handle_command(bytes(pkt))
+    assert d.rejects == 2 and d._dop == {}
+    assert capsys.readouterr().err.count("without OUTPUT_SSRC") == 2
+
+    # mixed-mode daemon: same contract (filter swaps are per-GROUP there,
+    # so an unaddressed filter command is also a reject, not bank-wide)
+    chf = tmp_path / "ch.txt"
+    chf.write_text(
+        "\n".join(f"{f} AM" for f in _freqs(4))
+        + "\n" + "\n".join(f"{f} FM" for f in _freqs(4)) + "\n"
+    )
+    argv = ["--iq-file", "unused", "-r", str(SAMPRATE), "--L", str(L),
+            "--M", str(M), "--no-native", "--channel-file", str(chf)]
+    args = build_parser().parse_args(argv)
+    dm = MultiBankDaemon(args, read_channel_file(str(chf)))
+    pkt = bytearray([1])
+    st.encode_string(pkt, StatusType.RADIO_MODE, b"USB")
+    st.encode_double(pkt, StatusType.RADIO_FREQUENCY, 1e6)
+    st.encode_float(pkt, StatusType.LOW_EDGE, -3000.0)
+    st.encode_float(pkt, StatusType.HIGH_EDGE, 3000.0)
+    st.encode_eol(pkt)
+    dm.handle_command(bytes(pkt))
+    assert dm.rejects == 3   # mode + frequency + filter
+    assert capsys.readouterr().err.count("without OUTPUT_SSRC") == 3
+
+
 class TestChannelFileEdges:
     """Per-line filter edges in the channel file: every distinct
     (mode, low, high) becomes its own demod group, giving the bank the

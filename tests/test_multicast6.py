@@ -159,6 +159,54 @@ class TestNativeDualStack:
             rx.close()
             tx.close()
 
+    def test_native_resolve_tries_every_family(self):
+        """(r4 review) A dual-stack name must yield ALL its numeric forms
+        so wrapper constructors can fall through families like the
+        reference's PF_UNSPEC loop — resolving only the first result
+        strands a v6-first name on a v4-only path."""
+        from ka9q_sdr_tpu.native import _resolve_candidates
+
+        cands = _resolve_candidates("localhost")
+        assert "127.0.0.1" in cands
+        # dedup + order preserved
+        assert len(cands) == len(set(cands))
+
+    def test_native_rx_single_block_ring(self):
+        """(r4 review) ring_blocks=1 must not be a permanently deaf
+        receiver: the ring keeps one slot of writer/reader gap (capacity
+        nblocks-1), so the floor is silently raised to 2."""
+        from ka9q_sdr_tpu.native import NATIVE_AVAILABLE, RTPReceiver, \
+            RTPSender
+
+        if not NATIVE_AVAILABLE:
+            pytest.skip("no compiler")
+        rx = RTPReceiver("239.66.210.7", 56217, block_len=240,
+                         ring_blocks=1)
+        tx = RTPSender("239.66.210.7", 56217, samprate=48000, ttl=0)
+        iq = np.zeros(240 * 2 * 2, np.int16)
+        iq[0::2] = 500
+        try:
+            tx.send(iq, pkt_samples=240, realtime=False)
+            assert rx.get_block(1000) is not None, (
+                "1-block ring is deaf: " + str(rx.stats()))
+        finally:
+            rx.close()
+            tx.close()
+
+    def test_bare_v6_with_plausible_port_warns(self, capsys):
+        """'ff05::114:5006' is a VALID v6 address and also what an
+        operator types meaning group ff05::114 port 5006 — the parse
+        keeps the address reading but must say so on stderr with the
+        bracketed fix."""
+        host, port, _ = _parse_target("ff05::114:5006")
+        assert host == "ff05::114:5006" and port == 5004
+        err = capsys.readouterr().err
+        assert "[ff05::114]:5006" in err
+        # an unambiguous literal (trailing group not a plausible port)
+        _parse_target("ff05::99999")
+        _parse_target("[ff05::114]:5006")
+        assert "write" not in capsys.readouterr().err
+
     @needs_v6
     def test_native_resolve_preserves_zone(self):
         from ka9q_sdr_tpu.native import _resolve_group
