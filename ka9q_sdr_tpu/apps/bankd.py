@@ -266,7 +266,9 @@ class BankDaemon:
                 from ..native import PCMFanoutSender
                 from ..net.multicast import _parse_target
 
-                name, port, _ = _parse_target(args.output)
+                name, port, iface = _parse_target(args.output)
+                if iface and ":" in name and "%" not in name:
+                    name = f"{name}%{iface}"  # scope link-local v6
                 self.native_pcm = PCMFanoutSender(
                     name, port, ttl=args.ttl,
                     ssrc_base=1, max_channels=self.n_real,
@@ -611,7 +613,9 @@ class MultiBankDaemon:
                 from ..native import PCMFanoutSender
                 from ..net.multicast import _parse_target
 
-                addr, port, _ = _parse_target(args.output)
+                addr, port, iface = _parse_target(args.output)
+                if iface and ":" in addr and "%" not in addr:
+                    addr = f"{addr}%{iface}"  # scope link-local v6
                 base = 1
                 for g, (row, cfg) in enumerate(zip(self.pcms, self.mb.cfgs)):
                     # FM/AM demodulate to mono regardless of the mode
@@ -761,6 +765,11 @@ class MultiBankDaemon:
         self.slot_ssrc[g][i] = None
         self.slot_ssrc[tg][j] = ssrc
         self.ssrc_map[ssrc] = (tg, j)
+        # init_channel cleared the device-side sweep (set_doppler(0,0));
+        # drop the command-memory too, or a later single-key doppler
+        # command would merge with the stale pre-migration component
+        # (ADVICE r4).
+        self._dop.pop(ssrc, None)
         self.ch_ids[g][i] = -1
         self.ch_ids[tg][j] = j
         if self.native_fan[g] is not None:

@@ -59,6 +59,11 @@ def main(argv=None) -> int:
         return 1
 
     if not args.py:
+        # Only engine CONSTRUCTION may fall back to the Python loop; a
+        # runtime error from an already-running engine must propagate —
+        # silently restarting as Python would reset every encoder session
+        # and all output streams (ADVICE r4).
+        eng = None
         try:
             from ..native import NativeOpusTranscoder
 
@@ -76,6 +81,10 @@ def main(argv=None) -> int:
                 max_sessions=args.max_sessions,
                 complexity=args.complexity,
             )
+        except (OSError, ImportError) as e:
+            print(f"native engine unavailable ({e}); falling back to the "
+                  f"Python loop", file=sys.stderr)
+        if eng is not None:
             t0 = time.monotonic()
             try:
                 while True:
@@ -91,9 +100,6 @@ def main(argv=None) -> int:
                 return 0
             finally:
                 eng.close()
-        except (OSError, ImportError) as e:
-            print(f"native engine unavailable ({e}); falling back to the "
-                  f"Python loop", file=sys.stderr)
 
     in_sock = setup_mcast(args.input, output=False)
     out_sock = setup_mcast(args.output, output=True, ttl=args.ttl)

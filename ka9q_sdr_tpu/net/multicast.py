@@ -155,6 +155,15 @@ def setup_mcast(
             if family == socket.AF_INET6 and ifidx:
                 fd.setsockopt(socket.IPPROTO_IPV6,
                               socket.IPV6_MULTICAST_IF, ifidx)
+            elif family == socket.AF_INET and ifidx and output:
+                # Pin the v4 egress interface too (symmetry with the v6
+                # branch above; the reference leaves v4 sends on the
+                # routing default — ADVICE r4).  struct ip_mreqn:
+                # imr_multiaddr, imr_address, imr_ifindex.
+                fd.setsockopt(
+                    socket.IPPROTO_IP, socket.IP_MULTICAST_IF,
+                    socket.inet_aton("0.0.0.0") * 2
+                    + struct.pack("@i", ifidx))
             if output:
                 fd.connect(addr)
             else:

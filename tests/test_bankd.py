@@ -1090,6 +1090,37 @@ class TestLiveModeMigration:
         assert d._pending is None          # flushed under the OLD map
         d.close()
 
+    def test_migrate_clears_doppler_memory(self, tmp_path):
+        """(ADVICE r4) migrate() resets the device-side sweep via
+        init_channel's set_doppler(0,0); the per-SSRC command memory
+        must be dropped too, or a later single-key doppler command
+        (e.g. rate-only) re-applies the stale pre-migration hz."""
+        import ka9q_sdr_tpu.net.status as st
+        from ka9q_sdr_tpu.net.status import StatusType
+
+        d = self._make_daemon(tmp_path, "dopmem")
+
+        def dop_cmd(ssrc, **keys):
+            pkt = bytearray([1])
+            st.encode_int(pkt, StatusType.OUTPUT_SSRC, ssrc)
+            if "hz" in keys:
+                st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY,
+                                 keys["hz"])
+            if "rate" in keys:
+                st.encode_double(pkt, StatusType.DOPPLER_FREQUENCY_RATE,
+                                 keys["rate"])
+            st.encode_eol(pkt)
+            return bytes(pkt)
+
+        d.handle_command(dop_cmd(2, hz=500.0, rate=3.0))
+        assert d._dop[2] == (500.0, 3.0)
+        assert d.migrate(2, "USB")
+        assert 2 not in d._dop          # memory follows the device reset
+        # a rate-only command after migration must NOT resurrect 500 Hz
+        d.handle_command(dop_cmd(2, rate=1.0))
+        assert d._dop[2] == (0.0, 1.0)
+        d.close()
+
     def test_migration_rejections(self, tmp_path):
         d = self._make_daemon(tmp_path, "rej")
         # unknown mode / no such group
