@@ -4,10 +4,17 @@ float32 numpy.
 This reproduces the reference's sample-by-sample control flow (radio.c
 proc_samples, am.c/fm.c/linear.c demod loops) literally — sequential
 recurrences, per-sample AGC, per-sample discriminator state — as a parity
-oracle for the vectorised TPU pipeline.  BASELINE.json's acceptance metric
-is PCM RMS error vs the C reference in dBFS; with no FFTW in this image
-the C itself cannot be built, so this executor IS the C semantics at
-float32 precision (each step annotated with its file:line source).
+oracle for the vectorised TPU pipeline (each step annotated with its
+file:line source).
+
+Since r5 this is a FAST PROXY, not the ground truth: the compiled
+reference C itself (osc.c, dsp.c, decimate.c, and filter.c backed by a
+real FFT shim) is built by tests/c_ref.py and differentially tested
+against the rebuild in tests/test_c_dsp_parity.py, anchoring the
+BASELINE.json "PCM RMS error vs the C reference" chain in actual C
+output.  This executor remains the oracle for the demod-thread layers
+(fm.c/am.c/linear.c need the full radio struct machinery to compile) and
+for everything batched/banked.
 
 Deliberately slow and literal.  Test-only code.
 """
