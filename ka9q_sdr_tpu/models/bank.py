@@ -399,8 +399,11 @@ def bank_channelize(
     chunk-aligns in column space (whole-aligned-row gather, the only
     fast dynamic indexing on TPU), the row offset is a P-way
     static-variant select, and the column misalign reuses the
-    shifted-response-table trick at stride P.  Falls back to bin_perm
-    for geometries it cannot serve (N_dec % P != 0, ISB).
+    shifted-response-table trick at stride P.  Serves CROSS_CONJ ISB
+    too (r5): the same per-sideband masked-response decomposition as
+    the natural aligned path.  Falls back to bin_perm only for
+    geometries it cannot serve (N_dec % P != 0, Q % 128 != 0), with a
+    loud construction-time warning from make_sharded_bank_step.
 
     Gather strategy: each channel's bins {k..k+h} ∪ {k-h+1..k-1} (mod N)
     form ONE contiguous circular window of N_dec bins.  The natural-order
@@ -435,8 +438,7 @@ def bank_channelize(
         P_ = int(comb_p)
         Q = N // P_
         CC = min(128, Q)
-        if (N_dec % P_ == 0 and Q % CC == 0 and not isb
-                and N % P_ == 0):
+        if N_dec % P_ == 0 and Q % CC == 0 and N % P_ == 0:
             h = N_dec // 2
             D = N_dec // P_
             NCHc = D // CC + 2
@@ -466,30 +468,8 @@ def bank_channelize(
             Wsel = jnp.take_along_axis(
                 Wv, r_off[None, :, None].astype(jnp.int32), axis=0
             )[0]                                   # (B, Wn)
-            # column-misalign shift table at stride P_ (cf. chunked_ifft)
-            resp_rolled = jnp.roll(state.resp, h - 1)
-            Pp = jnp.concatenate([
-                jnp.zeros((CHp,), resp_rolled.dtype),
-                resp_rolled,
-                jnp.zeros((CHp,), resp_rolled.dtype),
-            ])
-            Rt = jnp.stack([
-                jax.lax.slice(Pp, (CHp - mm * P_,),
-                              (CHp - mm * P_ + Wn,))
-                for mm in range(CC)
-            ])                                     # (CC, Wn)
-            S = Wsel * jnp.take(Rt, mc, axis=0)
-            # fold mod N_dec (may wrap more than once when CC*P_ >
-            # N_dec); the shifted response occupies N_dec contiguous
-            # positions of Wn, so every output bin receives exactly one
-            # nonzero term — placement, never mixing
-            n_seg = (Wn + N_dec - 1) // N_dec
-            Sp = jnp.pad(S, ((0, 0), (0, n_seg * N_dec - Wn)))
-            f = Sp.reshape(S.shape[0], n_seg, N_dec).sum(axis=1)
-            y = jnp.fft.ifft(f * phi[:, None], axis=-1) * N_dec
-            y = y[..., N_dec - L_dec:]
-            # undo the mc*P_ roll + the h-1 rotation in one output ramp
-            # (same exact-integer phase reduction as the natural path)
+            # output ramp: undo the mc*P_ roll + the h-1 rotation (same
+            # exact-integer phase reduction as the natural path)
             n_out = np.arange(N_dec - L_dec, N_dec)
             out_fix = np.exp(
                 -2j * np.pi * (h - 1) * n_out / N_dec
@@ -501,9 +481,66 @@ def bank_channelize(
             ang = (-2.0 * np.pi) * frac
             fix = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)) \
                 * jnp.asarray(out_fix)[None, :]
-            return new_r, new_nco, y * fix * lo
-        # unsupported comb geometry (or ISB): serve through the generic
-        # per-element path below with the comb permutation
+
+            def comb_ifft(resp_slave):
+                """IFFT of (comb window gather x response) for one
+                slave-order response vector — exactly
+                ifft(f_slave)[tail] * N_dec (incl. the fix ramp)."""
+                # column-misalign shift table at stride P_
+                resp_rolled = jnp.roll(resp_slave, h - 1)
+                Pp = jnp.concatenate([
+                    jnp.zeros((CHp,), resp_rolled.dtype),
+                    resp_rolled,
+                    jnp.zeros((CHp,), resp_rolled.dtype),
+                ])
+                Rt = jnp.stack([
+                    jax.lax.slice(Pp, (CHp - mm * P_,),
+                                  (CHp - mm * P_ + Wn,))
+                    for mm in range(CC)
+                ])                                 # (CC, Wn)
+                S = Wsel * jnp.take(Rt, mc, axis=0)
+                # fold mod N_dec (may wrap more than once when CC*P_ >
+                # N_dec); the shifted response occupies N_dec contiguous
+                # positions of Wn, so every output bin receives exactly
+                # one nonzero term — placement, never mixing
+                n_seg = (Wn + N_dec - 1) // N_dec
+                Sp = jnp.pad(S, ((0, 0), (0, n_seg * N_dec - Wn)))
+                f = Sp.reshape(S.shape[0], n_seg, N_dec).sum(axis=1)
+                y = jnp.fft.ifft(f * phi[:, None], axis=-1) * N_dec
+                return y[..., N_dec - L_dec:] * fix
+
+            if isb:
+                # CROSS_CONJ ISB through the comb gather (r5): identical
+                # decomposition to the natural aligned path below —
+                # per-sideband masked responses + the unpaired DC/Nyquist
+                # base bins via a tiny 2-element gather (comb-major
+                # location is plain arithmetic, no table) + the
+                # reference's combine (see _isb_combine).
+                mask_pos = np.zeros(N_dec, np.float32)
+                mask_pos[: h + 1] = 1.0            # slave bins 0..h
+                resp_pos = state.resp * jnp.asarray(mask_pos)
+                resp_neg = state.resp * jnp.asarray(1.0 - mask_pos)
+                u = comb_ifft(resp_pos)
+                l_ = comb_ifft(resp_neg)
+                b2 = jnp.stack(
+                    [state.k % N, (state.k + h) % N], axis=1)  # (B, 2)
+                b2 = (b2 % P_) * Q + b2 // P_      # comb-major position
+                g2 = jnp.take(fdomain, b2, axis=0)
+                f0 = g2[:, 0] * state.resp[0] * phi
+                fh = g2[:, 1] * state.resp[h] * phi
+                sign = jnp.asarray(((-1.0) ** n_out).astype(np.float32))
+                base = f0[:, None] + fh[:, None] * sign[None, :]
+                u = (u - base) * lo
+                l_ = l_ * lo
+                base = base * lo
+                y = base + jax.lax.complex(
+                    2.0 * jnp.real(l_), 2.0 * jnp.imag(u))
+                return new_r, new_nco, y
+            return new_r, new_nco, comb_ifft(state.resp) * lo
+        # unsupported comb geometry: serve through the generic
+        # per-element path below with the comb permutation — ~30-80x
+        # slower (r4 measured 123.5 vs 1.56 ms/block at N=2^20/2048 ch);
+        # make_sharded_bank_step warns loudly at construction
         if bin_perm is None:
             kk = np.arange(N)
             bin_perm = jnp.asarray(

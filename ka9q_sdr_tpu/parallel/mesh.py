@@ -183,9 +183,25 @@ def _bank_step_packed_dfft(
         )
     dfft_fn = make_dfft_sm(mesh, cfg.N, CHANNEL_AXIS)
     # comb_p engages bank_channelize's ALIGNED comb gather (r4: the
-    # generic per-element path measured 123.5 ms vs 1.56 ms aligned at
+    # generic per-element path measured 123.5 vs 1.56 ms aligned at
     # N=2^20/2048 ch on chip — a 79x cliff that made >100 Msps claims
-    # unbudgeted); geometries it can't serve fall back internally
+    # unbudgeted).  r5: the aligned path serves CROSS_CONJ ISB too;
+    # the only remaining fallbacks are geometric, and they are a
+    # deployment-breaking perf cliff — warn LOUDLY at construction.
+    _Q = cfg.N // n_dev
+    if cfg.N_dec % n_dev or _Q % min(128, _Q):
+        import warnings
+
+        warnings.warn(
+            f"shard_fft geometry N={cfg.N}, N_dec={cfg.N_dec} over "
+            f"{n_dev} devices cannot use the aligned comb gather "
+            f"(needs N_dec % n_dev == 0 and (N/n_dev) % 128 == 0): "
+            f"the bank will run the per-element gather, measured "
+            f"~30-80x slower per block.  Pad the geometry or drop "
+            f"shard_fft.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     perm = jnp.asarray(comb_index(cfg.N, n_dev).astype(np.int32))
     L = cfg.master.L
 

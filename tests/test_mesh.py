@@ -278,3 +278,79 @@ def test_comb_fast_gather_matches_natural_all_p():
             cfg, st, jnp.asarray(fd_comb), comb_p=P)
         err = float(jnp.max(jnp.abs(bb_comb - bb_nat))) / scale
         assert err < 1e-5, f"P={P}: {err}"
+
+
+def test_comb_fast_gather_isb_matches_natural():
+    """r5 (VERDICT r4 ask #6): the aligned comb path serves CROSS_CONJ
+    ISB too — per-sideband masked responses + the 2-element base-bin
+    gather compose with the comb fold.  Before this, an ISB bank under
+    shard_fft silently rode the ~79x per-element cliff."""
+    import jax.numpy as jnp
+
+    from ka9q_sdr_tpu.models.bank import (bank_channelize, bank_init,
+                                          make_bank_config)
+    from ka9q_sdr_tpu.parallel.dfft import comb_index
+
+    cfg = make_bank_config(24, "ISB", samprate=SAMPRATE, L=L, M=M)
+    N = cfg.N
+    rng = np.random.default_rng(3)
+    freqs = list(np.linspace(-0.45 * SAMPRATE, 0.45 * SAMPRATE, 24,
+                             endpoint=False)
+                 + rng.uniform(-2000, 2000, 24))
+    st = bank_init(cfg, freqs)
+    fd = (rng.standard_normal(N)
+          + 1j * rng.standard_normal(N)).astype(np.complex64)
+    _, _, bb_nat = bank_channelize(cfg, st, jnp.asarray(fd))
+    scale = float(jnp.max(jnp.abs(bb_nat)))
+    for P in (2, 4, 8, 16):
+        perm = comb_index(N, P).astype(np.int32)
+        fd_comb = np.asarray(fd)[np.argsort(perm)]
+        _, _, bb_comb = bank_channelize(
+            cfg, st, jnp.asarray(fd_comb), comb_p=P)
+        err = float(jnp.max(jnp.abs(bb_comb - bb_nat))) / scale
+        assert err < 1e-5, f"P={P}: {err}"
+
+
+def test_sharded_fft_isb_bank_matches_single_fft_bank():
+    """shard_fft + ISB end-to-end on the 8-device mesh vs the
+    single-device replicated-FFT bank (the geometry r4 left on the
+    per-element fallback)."""
+    n_ch = 16
+    cfg, template, packed, freqs = _mk(n_ch, "ISB")
+    mesh = make_channel_mesh(8)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must NOT warn
+        step, state = make_sharded_bank_step(
+            cfg, mesh, template, packed, shard_fft=True
+        )
+    ref_step = jax.jit(bank_step_packed(cfg, template))
+    ref_state = jax.tree_util.tree_map(np.copy, packed)
+    for blk, xr in enumerate(_blocks(cfg, freqs, 3)):
+        state, audio, _ = step(state, xr)
+        ref_state, ref_audio, _ = ref_step(ref_state, xr)
+        # block 0: the hang-AGC attack on the strong-carrier channel
+        # amplifies ulp-level fusion differences to ~9 int16 LSB for a
+        # few samples (the PARITY #9 sharded float-equivalence bound);
+        # from block 1 the trajectories are identical to <2e-6.
+        atol = 1e-3 if blk == 0 else 3e-5
+        np.testing.assert_allclose(
+            np.asarray(audio), np.asarray(ref_audio), atol=atol, rtol=1e-4,
+            err_msg=f"shard_fft ISB audio diverged at block {blk}",
+        )
+
+
+def test_shard_fft_fallback_geometry_warns_loudly():
+    """A shard_fft geometry the aligned comb gather cannot serve must
+    warn at CONSTRUCTION (the fallback is a measured ~30-80x cliff) —
+    VERDICT r4 weak #4."""
+    # N = L + M - 1 = 2304 = 2^8 * 9: Q = N/8 = 288, 288 % 128 != 0, so
+    # the aligned comb gather cannot chunk-align its rows
+    cfg = make_bank_config(8, "FM", samprate=SAMPRATE, L=2000, M=305)
+    assert (cfg.N // 8) % 128 != 0
+    mesh = make_channel_mesh(8)
+    template = bank_init(cfg, [0.0] * 8)
+    packed = tree_c2r_np(jax.tree_util.tree_map(np.asarray, template))
+    with pytest.warns(RuntimeWarning, match="aligned comb gather"):
+        make_sharded_bank_step(cfg, mesh, template, packed, shard_fft=True)
