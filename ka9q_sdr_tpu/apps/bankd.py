@@ -635,6 +635,22 @@ class MultiBankDaemon:
                       "falling back to the per-channel Python loop",
                       file=sys.stderr, flush=True)
                 self.native_fan = [None] * len(self.pcms)
+        # Pre-warm the migration splice graphs (VERDICT r4 weak #3):
+        # --spare-slots declares migration intent, and the FIRST
+        # init_channel per group otherwise compiles the per-row splice
+        # updates mid-serving — seconds on a remote TPU = hundreds of
+        # dropped blocks at the 20 ms cadence.  Re-commissioning a spare
+        # slot at build time is a semantic no-op (all state is still
+        # fresh) but compiles the same scatter graphs a live MODE
+        # migration dispatches (eager .at[] programs cache by SHAPE, not
+        # index, so one slot warms every slot).  Same rationale as
+        # ChannelBank.__init__'s retune warm-up.
+        if n_spare > 0:
+            for g in range(len(self.pcms)):
+                spare_idx = len(self.slot_ssrc[g]) - 1
+                self.mb.init_channel(
+                    g, spare_idx, self.mb.group_freqs[g][spare_idx]
+                )
         self.raw = open(args.pcm_raw, "wb") if args.pcm_raw else None
         self.commands = 0
         self.rejects = 0

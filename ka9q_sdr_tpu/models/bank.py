@@ -1428,8 +1428,9 @@ class MultiBank:
         doppler sweep.  This is the receiving half of live mode
         migration; the daemon mutes the slot the channel left.  First
         use per group compiles the splice updates (seconds on a remote
-        TPU) — comparable to the reference's thread respawn, and
-        subsequent migrations are ~ms dispatches."""
+        TPU) — MultiBankDaemon pre-warms this at startup whenever
+        --spare-slots > 0 (migration intent declared), so a LIVE
+        migration is a ~ms dispatch, never a mid-serving compile."""
         n_b = len(self.group_freqs[group])
         self.states[group] = bank_reset_demod_row(
             self.states[group], self._fresh_demod[group], idx, n_b
