@@ -66,8 +66,14 @@ def _measure(mode, n_channels, samprate, L, M, warmup, iters,
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     x_dev = jax.device_put(x_i)
     if use_scan:
-        xs_dev = jax.device_put(np.ascontiguousarray(
-            np.broadcast_to(x_i, (chunk,) + x_i.shape)))
+        # Broadcast the scan chunk ON DEVICE: uploading chunk x 31 MB per
+        # sweep width (r5 runs several) would trip the tunnel's cumulative
+        # -upload degradation (CLAUDE.md); one 31 MB upload + a device-side
+        # copy does not.
+        import jax.numpy as jnp
+        xs_dev = jax.jit(
+            lambda a: jnp.broadcast_to(a, (chunk,) + a.shape) + 0
+        )(x_dev)
 
     def fetch(a):
         return np.asarray(a.ravel()[:2])
@@ -222,7 +228,19 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     ref_L = int(os.environ.get("BENCH_REF_L", str(7864320)))   # 20 ms
-    serve_channels = int(os.environ.get("BENCH_SERVE_CHANNELS", "4096"))
+    # Serving sweep (r5): the 20 ms cadence measured at SEVERAL widths so
+    # the widest sustained-realtime *serving* width is a measured fact,
+    # not an extrapolation from the single 4096 point (VERDICT r4 weak #2).
+    # Measured r5: 4096 = 1.47x, 5120 = 1.22x, 6144 = 1.04x — and 7168 at
+    # this 20 ms geometry CRASHED the TPU worker ("kernel fault") in its
+    # first warmup fetch, wedging the tunnel; it is excluded from the
+    # default run (it would be ~0.9x by the curve anyway).
+    # Comma list; "0" skips the sweep entirely.
+    serve_channels = [
+        int(s) for s in
+        os.environ.get("BENCH_SERVE_CHANNELS", "4096,5120,6144").split(",")
+        if int(s) > 0
+    ]
     # The cadence-frontier rows (20 ms k=1 + 62.7 ms midpoint) defaulted
     # ON through r3-early; their measured values are recorded in
     # ARCHITECTURE.md §6b and they were dropped from the default run to
@@ -262,22 +280,24 @@ def main():
             file=sys.stderr,
         )
 
-    # Serving row: the Opus-friendly 20 ms cadence at the widest channel
-    # count with comfortable realtime margin — "N simultaneous 48 kHz FM
-    # receivers from one 393 Msps stream at 20 ms latency on one chip".
-    if ref_L > 0 and serve_channels > 0:
-        sps_r, p50r, p99r = _measure(
-            "FM", serve_channels, samprate, ref_L, M, warmup, iters,
-            enable_pl=True,
-        )
-        print(
-            f"# FM+PL {serve_channels} ch x {samprate/1e6:.3f} Msps bank "
-            f"(20 ms blocks, serving cadence): {sps_r/1e6:.2f} Msps "
-            f"({sps_r/samprate:.2f}x realtime), "
-            f"{serve_channels*sps_r/1e6:.0f} ch*Msps, "
-            f"round-trip p50 {p50r:.2f} ms / p99 {p99r:.2f} ms",
-            file=sys.stderr,
-        )
+    # Serving sweep: the Opus-friendly 20 ms cadence at several widths —
+    # "N simultaneous 48 kHz FM receivers from one 393 Msps stream at
+    # 20 ms latency on one chip", with the widest >=1.0x row being the
+    # measured serving ceiling.  4096 first (longitudinal r3/r4 point).
+    if ref_L > 0 and serve_channels:
+        for sc in serve_channels:
+            sps_r, p50r, p99r = _measure(
+                "FM", sc, samprate, ref_L, M, warmup, iters,
+                enable_pl=True,
+            )
+            print(
+                f"# FM+PL {sc} ch x {samprate/1e6:.3f} Msps bank "
+                f"(20 ms blocks, serving cadence): {sps_r/1e6:.2f} Msps "
+                f"({sps_r/samprate:.2f}x realtime), "
+                f"{sc*sps_r/1e6:.0f} ch*Msps, "
+                f"round-trip p50 {p50r:.2f} ms / p99 {p99r:.2f} ms",
+                file=sys.stderr,
+            )
 
     # Cadence/throughput/latency FRONTIER (the latency knob of
     # derive_geometry): with the 1089-tap channel impulse and
@@ -327,24 +347,28 @@ def main():
             file=sys.stderr,
         )
 
-    # Mixed-mode row: the deployment shape (MultiBankDaemon) — mostly-FM
+    # Mixed-mode rows: the deployment shape (MultiBankDaemon) — mostly-FM
     # plus USB and CAM(PLL) groups sharing ONE master FFT at the 20 ms
-    # serving cadence.  BENCH_MIXED=0 skips; "FM:3072,USB:512,CAM:512"
-    # format overrides the composition.
-    mixed_spec = os.environ.get("BENCH_MIXED", "FM:3072,USB:512,CAM:512")
-    if mixed_spec not in ("", "0"):
-        spec = [(s.split(":")[0], int(s.split(":")[1]))
-                for s in mixed_spec.split(",")]
-        sps_mx, total_mx = _measure_mixed(
-            spec, samprate, ref_L, M, warmup, iters
-        )
-        print(
-            f"# MultiBank {'+'.join(f'{m} {n}' for m, n in spec)} x "
-            f"{samprate/1e6:.3f} Msps (20 ms blocks, shared master FFT): "
-            f"{sps_mx/1e6:.2f} Msps ({sps_mx/samprate:.2f}x realtime), "
-            f"{total_mx*sps_mx/1e6:.0f} ch*Msps",
-            file=sys.stderr,
-        )
+    # serving cadence.  BENCH_MIXED=0 skips; ';'-separated list of
+    # "FM:3072,USB:512,CAM:512" specs overrides the compositions (r5 adds
+    # a wider shape so the serving sweep has a mixed-mode point).
+    mixed_specs = os.environ.get(
+        "BENCH_MIXED",
+        "FM:3072,USB:512,CAM:512;FM:5120,USB:512,CAM:512")
+    if mixed_specs not in ("", "0"):
+        for mixed_spec in mixed_specs.split(";"):
+            spec = [(s.split(":")[0], int(s.split(":")[1]))
+                    for s in mixed_spec.split(",")]
+            sps_mx, total_mx = _measure_mixed(
+                spec, samprate, ref_L, M, warmup, iters
+            )
+            print(
+                f"# MultiBank {'+'.join(f'{m} {n}' for m, n in spec)} x "
+                f"{samprate/1e6:.3f} Msps (20 ms blocks, shared master FFT): "
+                f"{sps_mx/1e6:.2f} Msps ({sps_mx/samprate:.2f}x realtime), "
+                f"{total_mx*sps_mx/1e6:.0f} ch*Msps",
+                file=sys.stderr,
+            )
 
     # Heaviest-mode rows: PLL (CAM) banks with the decimated acquisition
     # ring (demod_linear.py).  r3 found the PLL bank scales with master
