@@ -38,6 +38,8 @@ _REF_SOURCES = [
     "bandplan.c", "misc.c",
     # DSP layer (r5): libm-only TUs + filter.c backed by fftw_impl.c
     "osc.c", "dsp.c", "decimate.c", "filter.c",
+    # Demod layer (r5): the actual radio — driven by shim_demod.c
+    "am.c", "fm.c", "linear.c",
 ]
 
 
@@ -48,6 +50,7 @@ def _build() -> str | None:
     srcs = [
         os.path.join(_SHIM_DIR, "shim.c"),
         os.path.join(_SHIM_DIR, "shim_dsp.c"),
+        os.path.join(_SHIM_DIR, "shim_demod.c"),
         os.path.join(_SHIM_DIR, "fftw_impl.c"),
     ] + [os.path.join(_REF, s) for s in _REF_SOURCES]
     stubs = [
@@ -262,6 +265,17 @@ class CRef:
         lib.shim_notch_run.argtypes = [C.c_double, C.c_float, f32p, f32p,
                                        C.c_int]
         lib.shim_notch_run.restype = C.c_int
+
+        # ---- demod layer (am.c / fm.c / linear.c via shim_demod.c) ----
+        lib.shim_demod_run.argtypes = [
+            C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,           # kind..dec
+            C.c_float, C.c_float, C.c_float,                        # low..beta
+            C.c_float, C.c_float, C.c_float,                        # agc
+            C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,            # opts
+            C.c_double,                                             # shift
+            f32p, C.c_int, f32p, C.c_long, f32p,
+        ]
+        lib.shim_demod_run.restype = C.c_int
 
     # ---- TLV ----
 
@@ -617,6 +631,53 @@ class CRef:
         assert self._lib.shim_notch_run(f, bw, self._f32p(xi),
                                         self._f32p(out), n) == n
         return out.view(np.complex64)
+
+    # ---- demods: am.c / fm.c / linear.c ----
+
+    DEMOD_AM, DEMOD_FM, DEMOD_LINEAR = 0, 1, 2
+
+    def demod_run(self, kind: int, iq: np.ndarray, *, samprate: int,
+                  L: int, M: int, decimate: int, low: float, high: float,
+                  kaiser_beta: float = 11.0, headroom_db: float = -15.0,
+                  hangtime: float = 1.1, recovery_rate: float = 6.0,
+                  flat: bool = False, pll: bool = False,
+                  square: bool = False, isb: bool = False,
+                  channels: int = 1, shift_hz: float = 0.0,
+                  ) -> tuple[np.ndarray, dict]:
+        """Run the COMPILED reference demod thread over iq (nblocks*L
+        complex64).  Returns (pcm, sig) where pcm is (nblocks*olen,) mono
+        float32 — or (nblocks*olen, 2) when channels == 2 — and sig is the
+        demod's final signal-status struct.  am.c / fm.c / linear.c driven
+        through the real master/slave condvar handshake (filter.c:175-199);
+        headroom_db converted to voltage as main.c:117 does."""
+        iq = np.ascontiguousarray(iq, np.complex64)
+        nblocks = len(iq) // L
+        assert nblocks * L == len(iq)
+        olen = L // decimate
+        cap = (nblocks + 1) * olen * max(1, channels) + 16
+        out = np.empty(cap, np.float32)
+        sig = np.empty(8, np.float32)
+        n = self._lib.shim_demod_run(
+            kind, samprate, L, M, decimate,
+            low, high, kaiser_beta,
+            float(10.0 ** (headroom_db / 20.0)), hangtime, recovery_rate,
+            1 if flat else 0, 1 if pll else 0, 1 if square else 0,
+            1 if isb else 0, channels, shift_hz,
+            self._f32p(iq.view(np.float32)), nblocks,
+            self._f32p(out), cap, self._f32p(sig))
+        assert n >= 0, "shim_demod_run failed"
+        want = nblocks * olen * (2 if channels == 2 else 1)
+        assert n >= want, f"captured {n} < expected {want}"
+        pcm = out[:want]
+        if channels == 2:
+            pcm = pcm.reshape(-1, 2)
+        sigd = {
+            "snr": float(sig[0]), "foffset": float(sig[1]),
+            "pdeviation": float(sig[2]), "plfreq": float(sig[3]),
+            "bb_power": float(sig[4]), "n0": float(sig[5]),
+            "cphase": float(sig[6]), "pll_lock": bool(sig[7]),
+        }
+        return pcm.copy(), sigd
 
     def lookup_frequency(self, f_hz: float) -> dict | None:
         self._lib.lookup_frequency.argtypes = [C.c_double]

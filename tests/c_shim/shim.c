@@ -50,11 +50,8 @@ void shim_set_libdir(const char *dir) {
   ka9q_shim_strlcpy(Libdir, dir, sizeof(Libdir));
 }
 
-/* modes.c's Demodtab[] initializer names the three demod thread entry
- * points (fm.c/am.c/linear.c need FFTW and are not compiled). */
-void *demod_fm(void *arg)     { (void)arg; return 0; }
-void *demod_am(void *arg)     { (void)arg; return 0; }
-void *demod_linear(void *arg) { (void)arg; return 0; }
+/* The three demod thread entry points (fm.c/am.c/linear.c) are compiled
+ * for real since r5 — driven by shim_demod.c. */
 
 /* ---- RTP header marshal wrappers (rtp_header has int:1 bitfields;
  *      flatten to a uint32 field array so ctypes stays layout-free).
