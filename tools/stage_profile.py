@@ -182,8 +182,12 @@ def main():
             [rng.standard_normal((B, L_dec)), rng.standard_normal((B, L_dec))],
             axis=-1).astype(np.float32))
 
+        # vals/mask ride as ARGUMENTS: a closed-over device array is
+        # embedded as an HLO constant and a (B, L_dec, 2) f32 at 8192 ch
+        # is ~465 MB — over the remote compile endpoint's request limit
+        # (HTTP 413, observed r5)
         @jax.jit
-        def fills(carry):
+        def fills(carry, vals_c, vals_r, strong):
             cc, cr = carry
             vc = jax.lax.complex(vals_c[..., 0], vals_c[..., 1])
             ffc, ffr = forward_fill_multi(
@@ -198,7 +202,8 @@ def main():
 
         carry0 = (jnp.zeros((B, 2), jnp.float32), jnp.zeros((B,), jnp.float32))
         res["fills_ms"] = slope(
-            lambda st: fills(st), carry0, args.iters, args.warmup
+            lambda st: fills(st, vals_c, vals_r, strong),
+            carry0, args.iters, args.warmup
         ) * 1e3
         print(f"# fills (2x forward-fill, shared mask): "
               f"{res['fills_ms']:.2f} ms", file=sys.stderr, flush=True)
@@ -212,12 +217,13 @@ def main():
             rng.standard_normal((B, k)).astype(np.float32))
 
         @jax.jit
-        def pl_ring(ring):
+        def pl_ring(ring, newsamp):
             r2 = jnp.concatenate([ring[..., k:], newsamp], axis=-1)
             return r2, jnp.sum(r2[..., :2])
 
         res["pl_ring_ms"] = slope(
-            pl_ring, ring0, args.iters, args.warmup) * 1e3
+            lambda st: pl_ring(st, newsamp), ring0, args.iters,
+            args.warmup) * 1e3
 
         @jax.jit
         def pl_fft(ring):
