@@ -214,14 +214,16 @@ def main():
     # ~2.1, at the cost of a 148 ms block (fine for monitoring-scale
     # channelisation; the reference-cadence 20 ms row below keeps the
     # Opus-friendly latency).
-    # Channel-scaling sweep (re-measured r4 with the fft_mxu master):
-    # the per-channel stages scale linearly and the chip saturates near
-    # 3.2M ch*Msps —
+    # Channel-scaling sweep (r5 per-stage budget, ARCHITECTURE §6b): the
+    # per-channel stages scale EXACTLY linearly (12.56 us/ch + 23.4 ms
+    # shared master; break-even ~9900 ch at the 148 ms block) —
     #   2048 ch: 2.18M (2.70x rt) | 6144: 3.02M (1.25x) |
-    #   7168 ch: 3.22M (1.14x rt) | 8192: 3.16M (0.98x, SUB-realtime)
-    # 7168 is the widest sustained-realtime point -> flagship headline
-    # (r3, with the four-step master, topped out at 6144 ch / 2.92M).
-    n_channels = int(os.environ.get("BENCH_CHANNELS", "7168"))
+    #   7168 ch: 3.22-3.64M (1.14-1.29x) | 8192: 3.77-3.84M (1.17-1.19x) |
+    #   9216 ch: 3.87M (1.07x - realtime edge, margin inside variance)
+    # 8192 is the widest width with robust margin -> flagship headline.
+    # (r4 headlined 7168 after two 8192=0.98x readings; the r5 stage
+    # profile showed those were host-load variance, not a scaling wall.)
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     samprate = float(os.environ.get("BENCH_SAMPRATE", str(393.216e6)))
     L = int(os.environ.get("BENCH_L", str(58195968)))    # L_dec = 7104
     M = int(os.environ.get("BENCH_M", str(8912897)))     # M_dec = 1089
@@ -342,8 +344,8 @@ def main():
             f"# scaling: 2048 ch long blocks: {sps_s/1e6:.2f} Msps "
             f"({sps_s/samprate:.2f}x realtime), "
             f"{2048*sps_s/1e6:.0f} ch*Msps  "
-            f"[r4 curve: 2048->2.18M, 6144->3.02M, 7168->3.22M, "
-            f"8192->3.16M ch*Msps (8192 is 0.98x rt, sub-realtime)]",
+            f"[r5 curve: 2048->2.18M, 6144->3.02M, 7168->3.22-3.64M, "
+            f"8192->3.77-3.84M, 9216->3.87M ch*Msps (9216 = 1.07x rt)]",
             file=sys.stderr,
         )
 
