@@ -219,7 +219,8 @@ def main():
     # shared master; break-even ~9900 ch at the 148 ms block) —
     #   2048 ch: 2.18M (2.70x rt) | 6144: 3.02M (1.25x) |
     #   7168 ch: 3.22-3.64M (1.14-1.29x) | 8192: 3.77-3.84M (1.17-1.19x) |
-    #   9216 ch: 3.87M (1.07x - realtime edge, margin inside variance)
+    #   9216 ch: 3.87M (1.07x - realtime edge, margin inside variance) |
+    #   10240:   3.95M achieved (0.98x - measured sub-rt, as predicted)
     # 8192 is the widest width with robust margin -> flagship headline.
     # (r4 headlined 7168 after two 8192=0.98x readings; the r5 stage
     # profile showed those were host-load variance, not a scaling wall.)
