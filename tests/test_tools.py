@@ -35,14 +35,23 @@ def _run_tool(args, timeout=280):
 
 def test_stage_profile_cpu_smoke():
     res = _run_tool(["tools/stage_profile.py", "--cpu", "--iters", "3"])
-    # the cumulative-prefix contract: each prefix adds work
+    # Structural contract only: slope timings on a loaded shared host can
+    # come out arbitrarily noisy (even negative — t_hi < t_lo when the
+    # short run eats a load spike), so asserting stage ordering here is a
+    # flake.  The numeric sanity of the method is established on the real
+    # chip (ARCHITECTURE §6b); what must not rot is the JSON schema the
+    # next round's measurements parse.
     for key in ("master_ms", "chan_ms", "full_ms", "fills_ms",
                 "pl_ring_ms", "pl_fft_amortised_ms",
                 "d_channelize_ms", "d_demod_ms", "realtime_x"):
         assert key in res, key
-    assert 0 < res["master_ms"] < res["chan_ms"] < res["full_ms"]
-    assert res["d_channelize_ms"] > 0 and res["d_demod_ms"] > 0
-    assert res["realtime_x"] > 0
+        assert isinstance(res[key], (int, float)), key
+    assert res["channels"] == 16 and res["L_dec"] > 0
+    # derived rows must stay consistent with the prefixes they difference
+    assert abs(res["d_channelize_ms"]
+               - (res["chan_ms"] - res["master_ms"])) < 1e-6
+    assert abs(res["d_demod_ms"]
+               - (res["full_ms"] - res["chan_ms"])) < 1e-6
 
 
 def test_serve_soak_cpu_smoke():
